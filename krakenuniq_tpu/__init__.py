@@ -1,0 +1,25 @@
+"""krakenuniq_tpu — a TPU-native metagenomics classifier with KrakenUniq's capabilities.
+
+A ground-up JAX/XLA/Pallas re-design of the KrakenUniq workload
+(reference: fbreitwieser/krakenuniq): exact k-mer classification against a
+sorted (k-mer -> LCA taxid) database with per-taxon unique-k-mer counting via
+HyperLogLog++.
+
+Design stance (TPU-first):
+  * The database is a static, read-only sorted tensor -- treated like model
+    weights: resident in HBM, minimizer-range sharded over a device mesh.
+  * Reads stream through a single jit'd program: 2-bit encode -> canonical
+    k-mers -> scrambled-minimizer bin lookup -> binary search -> tree
+    resolution (Euler-interval ancestor matmul on the MXU).
+  * Host keeps only text I/O and byte-exact report formatting.
+
+The k-mer keys are up to 62 bits; we enable jax x64 globally so uint64
+device arrays work (XLA emulates 64-bit integer ops on TPU with 32-bit
+pairs; hot Pallas kernels use explicit u32 hi/lo planes instead).
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
