@@ -1,0 +1,150 @@
+"""The jitted single-program classify step.
+
+One XLA program does, for a whole padded read batch:
+  2-bit windows -> canonical k-mers + scrambled minimizers -> two-level DB
+  lookup (per configured database, hierarchically) -> per-read tree
+  resolution -> HLL hash+encode.
+
+Everything returned to the host is what the text/report layer needs:
+per-k-mer taxa (original id space), ambiguity flags, per-read calls, the
+32-bit HLL encodings, and the processed-lane mask.
+
+Reference call path being replaced: classify.cpp:897-1012 per-read loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..kmer import ops as kops
+from ..lookup import lookup_kmers
+from ..taxonomy.resolve import resolve_reads
+from ..utils.bits import P_PRIME
+
+
+def murmur3_finalizer_device(key: jax.Array) -> jax.Array:
+    """Device version of the HLL bit mixer (hyperloglogplus.cpp:830-838)."""
+    key = key.astype(jnp.uint64) + jnp.uint64(1)
+    key ^= key >> jnp.uint64(33)
+    key *= jnp.uint64(0xFF51AFD7ED558CCD)
+    key ^= key >> jnp.uint64(33)
+    key *= jnp.uint64(0xC4CEB9FE1A85EC53)
+    key ^= key >> jnp.uint64(33)
+    return key
+
+
+def encode_hash_device(h: jax.Array, p: int) -> jax.Array:
+    """Device version of the 32-bit sparse encoding (hyperloglogplus.cpp:181-204)."""
+    idx = ((h >> jnp.uint64(64 - P_PRIME)) << jnp.uint64(32 - P_PRIME)).astype(jnp.uint32)
+    flagged = (idx << jnp.uint32(p)) == 0
+    shifted = h << jnp.uint64(P_PRIME)
+    clz = jnp.minimum(
+        jnp.where(shifted == 0, jnp.uint64(64), jax.lax.clz(shifted).astype(jnp.uint64)),
+        jnp.uint64(64 - P_PRIME),
+    )
+    additional_rank = (clz + jnp.uint64(1)).astype(jnp.uint32)
+    return jnp.where(flagged, idx | (additional_rank << jnp.uint32(1)) | jnp.uint32(1), idx)
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    k: int
+    nt: int
+    n_iter: int  # binary search trip count
+    max_depth: int
+    hll_p: int = 12
+    quick: bool = False
+    min_hits: int = 1
+    with_kmers: bool = False  # also return canonical k-mers (--exact mode)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg",),
+)
+def classify_step(
+    db_planes,  # tuple of (keys, vals, vals_dense, offsets, bin_start) per database
+    taxid_table: jax.Array,  # uint32 [T]: dense -> original taxid
+    tin: jax.Array,
+    tout: jax.Array,
+    parent: jax.Array,
+    root_dense: jax.Array,
+    codes: jax.Array,  # uint8 [B, LB]
+    ambig: jax.Array,  # bool [B, LB]
+    lengths: jax.Array,  # int32 [B]
+    cfg: StepConfig,
+):
+    k = cfg.k
+    b, lb = codes.shape
+    w = lb - k + 1
+
+    canon, bins, kmer_ambig = (
+        kops.pack_windows(codes, k),
+        kops.minimizers(codes, k, cfg.nt),
+        kops.window_any(ambig, k),
+    )
+    canon = kops.canonical_representation(canon, k)
+
+    pos = jnp.arange(w, dtype=jnp.int32)[None, :]
+    n_kmers = jnp.maximum(lengths - (k - 1), 0)[:, None]  # 0 if read shorter than k
+    valid = pos < n_kmers
+
+    search = valid & ~kmer_ambig
+    taxon = jnp.zeros((b, w), dtype=jnp.uint32)
+    taxon_dense = jnp.zeros((b, w), dtype=jnp.int32)
+    # hierarchical multi-DB: later DBs only fill lanes still unclassified
+    # (classify.cpp:927-936)
+    for keys, vals, vals_dense, offsets, bin_start in db_planes:
+        remaining = search & (taxon == 0)
+        t_i, td_i = lookup_kmers(
+            keys, vals, vals_dense, offsets, canon, bins, remaining, cfg.n_iter, bin_start
+        )
+        taxon = jnp.where(remaining, t_i, taxon)
+        taxon_dense = jnp.where(remaining, td_i, taxon_dense)
+
+    hit = taxon != 0
+
+    if cfg.quick:
+        # stop after min_hits DB hits (classify.cpp:941-963): a k-mer position
+        # is processed iff fewer than min_hits hits occurred strictly before it
+        hits_before = jnp.cumsum(hit.astype(jnp.int32), axis=1) - hit.astype(jnp.int32)
+        processed = valid & (hits_before < cfg.min_hits)
+        total_hits = jnp.sum((hit & processed).astype(jnp.int32), axis=1)
+        # the call is the taxon of the hit that reached min_hits
+        reach = (hits_before + hit.astype(jnp.int32) == cfg.min_hits) & hit & processed
+        call_pos = jnp.argmax(reach, axis=1)
+        call_taxon = jnp.take_along_axis(taxon, call_pos[:, None], axis=1)[:, 0]
+        call = jnp.where(total_hits >= cfg.min_hits, call_taxon, jnp.uint32(0))
+        call_dense_taxon = jnp.take_along_axis(taxon_dense, call_pos[:, None], axis=1)[:, 0]
+        call_dense = jnp.where(total_hits >= cfg.min_hits, call_dense_taxon, 0)
+    else:
+        processed = valid
+        total_hits = jnp.sum(hit.astype(jnp.int32), axis=1)
+        call_dense = resolve_reads(
+            taxon_dense, hit & processed, tin, tout, parent, root_dense, cfg.max_depth
+        )
+        call = jnp.take(taxid_table, call_dense)
+
+    # HLL: every processed non-ambiguous k-mer is counted, including misses
+    # under taxon 0 (classify.cpp:939)
+    hll_lanes = processed & ~kmer_ambig
+    enc = encode_hash_device(murmur3_finalizer_device(canon), cfg.hll_p)
+
+    out = {
+        "taxa": taxon,
+        "ambig": kmer_ambig,
+        "processed": processed,
+        "hll_lanes": hll_lanes,
+        "enc": enc,
+        "call": call,
+        "call_dense": call_dense,
+        "hits": total_hits,
+        "n_kmers": n_kmers[:, 0],
+    }
+    if cfg.with_kmers:
+        out["canon"] = canon
+    return out

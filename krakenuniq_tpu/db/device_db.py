@@ -1,0 +1,123 @@
+"""Device-resident k-mer database.
+
+The database (sorted canonical-k-mer -> LCA-taxid pairs plus the minimizer
+offset table, reference krakendb.cpp:60-78/528-593) is treated like model
+weights: loaded once into HBM as three planes
+  keys  uint64 [N]   sorted within each minimizer bin
+  vals  uint32 [N]   LCA taxid (original id space)
+  vals_dense int32 [N]  taxid remapped into the dense taxonomy index space
+and the bin offset table (4^nt + 1 entries, shard-relative).
+
+A `DeviceDB` may represent the whole database (single chip) or one
+minimizer-range shard (multi-chip): `bin_start` is the first minimizer bin
+owned and `offsets` is relative to `key_start`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import read_kdb, read_index
+from ..taxonomy import Taxonomy
+
+
+@dataclasses.dataclass
+class DeviceDB:
+    keys: jax.Array  # uint64 [N]
+    vals: jax.Array  # uint32 [N]
+    vals_dense: jax.Array  # int32 [N]
+    offsets: jax.Array  # int64 [bins_owned + 1], relative to key_start
+    k: int
+    nt: int
+    idx_type: int
+    key_ct: int
+    max_bin: int  # largest bin size (bounds the binary-search trip count)
+    bin_start: int = 0  # first minimizer bin owned by this shard
+    key_start: int = 0  # global pair index of keys[0]
+
+    @property
+    def n_bins(self) -> int:
+        return int(self.offsets.shape[0]) - 1
+
+    @property
+    def search_iters(self) -> int:
+        return max(1, int(np.ceil(np.log2(self.max_bin + 1))) + 1)
+
+
+def _device_put_planes(keys, vals, vals_dense, offsets, device=None):
+    put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
+    return put(keys), put(vals), put(vals_dense), put(offsets)
+
+
+def build_device_db(
+    keys: np.ndarray,
+    vals: np.ndarray,
+    offsets: np.ndarray,
+    k: int,
+    nt: int,
+    taxonomy: Taxonomy | None,
+    idx_type: int = 2,
+    device=None,
+) -> DeviceDB:
+    offsets = np.asarray(offsets, dtype=np.int64)
+    bin_sizes = np.diff(offsets)
+    max_bin = int(bin_sizes.max()) if len(bin_sizes) else 0
+    if taxonomy is not None:
+        vals_dense = taxonomy.dense_index(vals)
+        unknown = (vals_dense == 0) & (vals != 0)
+        if unknown.any():
+            n_unknown = int(unknown.sum())
+            import sys
+
+            print(
+                f"warning: {n_unknown} DB values reference taxa missing from the "
+                f"taxonomy (treated as unclassified)",
+                file=sys.stderr,
+            )
+    else:
+        vals_dense = np.zeros(len(vals), dtype=np.int32)
+    dk, dv, dvd, doff = _device_put_planes(
+        np.ascontiguousarray(keys, dtype=np.uint64),
+        np.ascontiguousarray(vals, dtype=np.uint32),
+        np.ascontiguousarray(vals_dense, dtype=np.int32),
+        offsets,
+        device,
+    )
+    return DeviceDB(
+        keys=dk,
+        vals=dv,
+        vals_dense=dvd,
+        offsets=doff,
+        k=k,
+        nt=nt,
+        idx_type=idx_type,
+        key_ct=len(keys),
+        max_bin=max_bin,
+    )
+
+
+def load_database_dir(
+    db_dir: str | os.PathLike,
+    taxonomy: Taxonomy | None = None,
+    uid_database: bool = False,
+    device=None,
+) -> tuple[DeviceDB, Taxonomy]:
+    """Load a reference-layout database directory onto the device.
+
+    Expects `database.kdb` (or `uid_database.kdb`), `database.idx`, `taxDB`
+    (scripts/krakenuniq:135-138, 199)."""
+    db_dir = os.fspath(db_dir)
+    kdb_name = "uid_database.kdb" if uid_database else "database.kdb"
+    if taxonomy is None:
+        taxonomy = Taxonomy.from_taxdb_file(os.path.join(db_dir, "taxDB"))
+    hdr, keys, vals = read_kdb(os.path.join(db_dir, kdb_name))
+    idx_type, nt, offsets = read_index(os.path.join(db_dir, "database.idx"))
+    db = build_device_db(
+        keys, vals, offsets, k=hdr.k, nt=nt, taxonomy=taxonomy, idx_type=idx_type, device=device
+    )
+    return db, taxonomy

@@ -33,3 +33,24 @@ def counts_from_vals(vals: np.ndarray) -> dict[int, int]:
     """Taxon histogram over the DB value column (krakendb.cpp:90-113)."""
     uniq, cnt = np.unique(np.asarray(vals), return_counts=True)
     return {int(t): int(c) for t, c in zip(uniq, cnt)}
+
+
+def read_counts_stream_bugcompat(path: str | os.PathLike) -> list[tuple[int, int]]:
+    """Counts as consumed by the reference's readGenomeSizes (taxdb.hpp:867-885).
+
+    Its `while (!eof) { in >> taxid >> size; setGenomeSize(...); }` loop
+    processes the final line twice when the file ends with a newline (the
+    failed extraction leaves the previous values in place), so the last
+    taxon's genome size is double-counted. Replicated here for report
+    equality."""
+    pairs: list[tuple[int, int]] = []
+    with open(path, "rb") as f:
+        data = f.read()
+    for line in data.decode().splitlines():
+        line = line.strip()
+        if line:
+            taxid, count = line.split("\t")
+            pairs.append((int(taxid), int(count)))
+    if pairs and data.endswith((b"\n", b" ", b"\t")):
+        pairs.append(pairs[-1])
+    return pairs

@@ -1,0 +1,75 @@
+"""Device (JAX) implementation of KrakenUniq's read-level tree resolution.
+
+Semantics (reference krakenutil.cpp:149-200): each distinct hit taxon is a
+candidate; its score is the sum of hit counts over its root path; the answer
+is the max-score candidate, with ties resolved by the LCA of all tied
+candidates; empty hits => 0.
+
+TPU formulation: instead of walking parent chains per candidate, we use
+Euler-tour intervals: hit j contributes to candidate i iff
+tin[t_j] <= tin[t_i] < tout[t_j]. Working per k-mer position (duplicate taxa
+naturally sum), the per-read score vector is a (W x W) pairwise-comparison
+reduction -- one fused VPU pass over the batch. Tie-LCA is the deepest node
+on the argmax candidate's parent chain whose interval contains every tied
+candidate; found with a fixed (max-depth) chain walk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def resolve_reads(
+    taxa_dense: jax.Array,  # int32 [B, W] dense taxon ids per k-mer (0 = no hit)
+    hit_mask: jax.Array,  # bool  [B, W] True where a DB hit occurred
+    tin: jax.Array,  # int32 [T]
+    tout: jax.Array,  # int32 [T]
+    parent: jax.Array,  # int32 [T] dense parent (self for roots)
+    root_dense: jax.Array,  # int32 scalar: dense index of taxid 1
+    max_depth: int,
+) -> jax.Array:
+    """Returns the dense call per read: int32 [B]."""
+    t = jnp.where(hit_mask, taxa_dense, 0)
+    tins = jnp.take(tin, t, axis=0)  # [B, W]
+    touts = jnp.take(tout, t, axis=0)
+
+    # anc[b, j, i]: hit j is ancestor-or-self of candidate i
+    anc = (
+        (tins[:, :, None] <= tins[:, None, :])
+        & (tins[:, None, :] < touts[:, :, None])
+        & hit_mask[:, :, None]
+        & hit_mask[:, None, :]
+    )
+    score = jnp.sum(anc, axis=1, dtype=jnp.int32)  # [B, W] per candidate
+    score = jnp.where(hit_mask, score, 0)
+
+    max_score = jnp.max(score, axis=1)  # [B]
+    classified = max_score > 0
+    tied = (score == max_score[:, None]) & hit_mask  # [B, W]
+
+    # interval hull of the tied set
+    big = jnp.int32(2**31 - 1)
+    tmin = jnp.min(jnp.where(tied, tins, big), axis=1)  # [B]
+    tmax = jnp.max(jnp.where(tied, tins, -1), axis=1)  # [B]
+
+    # start from the first argmax candidate and walk up; the first node whose
+    # interval contains [tmin, tmax] is the LCA of the tied set
+    start = jnp.take_along_axis(t, jnp.argmax(score, axis=1)[:, None], axis=1)[:, 0]
+
+    def step(_, carry):
+        node, best, found = carry
+        ok = (jnp.take(tin, node) <= tmin) & (tmax < jnp.take(tout, node))
+        best = jnp.where(ok & ~found, node, best)
+        found = found | ok
+        node = jnp.take(parent, node)
+        return node, best, found
+
+    init = (start, jnp.full_like(start, root_dense), jnp.zeros_like(classified))
+    _, best, found = jax.lax.fori_loop(0, max_depth + 1, step, init)
+    # disconnected tied sets fall back to the root (krakenutil.cpp:117)
+    call = jnp.where(found, best, root_dense)
+    return jnp.where(classified, call, 0).astype(jnp.int32)

@@ -132,3 +132,159 @@ def hitlist_string(taxa: list[int], ambig: list[bool]) -> str:
             last_code = code
     parts.append(f"A:{count}" if last_code < 0 else f"{last_code}:{count}")
     return " ".join(parts)
+
+
+# ----------------------------------------------------------------- HLL oracle
+
+P_PRIME = 25
+M_PRIME = 1 << P_PRIME
+
+
+def _clz(x: int, width: int) -> int:
+    if x == 0:
+        return width
+    n = 0
+    for i in range(width - 1, -1, -1):
+        if x >> i:
+            break
+        n += 1
+    return width - x.bit_length()
+
+
+def get_rank64(h: int, p: int) -> int:
+    shifted = (h << p) & U64
+    return min(_clz(shifted, 64), 64 - p) + 1
+
+
+def get_rank32(v: int, p: int) -> int:
+    shifted = (v << p) & 0xFFFFFFFF
+    return min(_clz(shifted, 32), 32 - p) + 1
+
+
+def encode_hash(h: int, p: int) -> int:
+    idx = ((h >> (64 - P_PRIME)) << (32 - P_PRIME)) & 0xFFFFFFFF
+    if (idx << p) & 0xFFFFFFFF == 0:
+        return idx | (get_rank64(h, P_PRIME) << 1) | 1
+    return idx
+
+
+def encoded_rank(v: int, p: int) -> int:
+    if v & 1:
+        return (P_PRIME - p) + ((v >> 1) & 0x3F)
+    return get_rank32(v, p)
+
+
+class OracleHLL:
+    """One-item-at-a-time replica of HyperLogLogPlusMinus semantics."""
+
+    def __init__(self, p=12):
+        self.p = p
+        self.m = 1 << p
+        self.sparse = True
+        self.sparse_set: set[int] = set()
+        self.M: list[int] | None = None
+        self.n_observed = 0
+
+    def insert(self, item: int):
+        self.n_observed += 1
+        h = murmur64(item)
+        if self.sparse and len(self.sparse_set) + 1 > self.m // 4:
+            self._switch()
+        if self.sparse:
+            self.sparse_set.add(encode_hash(h, self.p))
+        else:
+            idx = h >> (64 - self.p)
+            rank = get_rank64(h, self.p)
+            if rank > self.M[idx]:
+                self.M[idx] = rank
+
+    def _switch(self):
+        self.sparse = False
+        self.M = [0] * self.m
+        for v in self.sparse_set:
+            idx = v >> (32 - self.p)
+            rank = encoded_rank(v, self.p)
+            if rank > self.M[idx]:
+                self.M[idx] = rank
+        self.sparse_set = set()
+
+    def merge(self, other: "OracleHLL"):
+        if other.n_observed == 0:
+            return
+        if self.n_observed == 0:
+            self.n_observed = other.n_observed
+            self.sparse = other.sparse
+            self.sparse_set = set(other.sparse_set)
+            self.M = None if other.M is None else list(other.M)
+            return
+        self.n_observed += other.n_observed
+        if self.sparse and other.sparse:
+            self.sparse_set |= other.sparse_set
+        elif other.sparse:
+            for v in other.sparse_set:
+                idx = v >> (32 - self.p)
+                rank = encoded_rank(v, self.p)
+                if rank > self.M[idx]:
+                    self.M[idx] = rank
+        else:
+            if self.sparse:
+                old = self.sparse_set
+                self.sparse = False
+                self.M = list(other.M)
+                for v in old:
+                    idx = v >> (32 - self.p)
+                    rank = encoded_rank(v, self.p)
+                    if rank > self.M[idx]:
+                        self.M[idx] = rank
+                self.sparse_set = set()
+            else:
+                self.M = [max(a, b) for a, b in zip(self.M, other.M)]
+
+    def ertl(self) -> int:
+        import math
+
+        if self.sparse:
+            q, m = 64 - P_PRIME, M_PRIME
+            C = [0] * 66
+            for v in self.sparse_set:
+                C[encoded_rank(v, self.p)] += 1
+            C[0] = m - len(self.sparse_set)
+        else:
+            q, m = 64 - self.p, self.m
+            C = [0] * 66
+            for r in self.M:
+                C[r] += 1
+
+        def sigma(x):
+            if x == 1.0:
+                return math.inf
+            s, y = x, 1.0
+            while True:
+                prev = s
+                x *= x
+                s += x * y
+                y += y
+                if s == prev:
+                    return s
+
+        def tau(x):
+            if x in (0.0, 1.0):
+                return 0.0
+            y, t = 1.0, 1.0 - x
+            while True:
+                prev = t
+                x = math.sqrt(x)
+                y /= 2.0
+                t -= (1.0 - x) ** 2 * y
+                if t == prev:
+                    return t / 3.0
+
+        den = m * tau(1.0 - C[q + 1] / m)
+        for k in range(q, 0, -1):
+            den += C[k]
+            den *= 0.5
+        den += m * sigma(C[0] / m)
+        est = (m / (2.0 * math.log(2.0))) * m / den
+        if self.n_observed < est:
+            return self.n_observed
+        return int(math.floor(est + 0.5))
