@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark: single-chip classify-step throughput on a synthetic database.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's fastest published configuration (--preload, whole
+DB in RAM) classifies 9.4M reads in 14 min ~= 11,200 reads/s on a 2020
+multicore server (paper.md:125, BASELINE.md). vs_baseline = ours / that.
+
+The synthetic DB mirrors real layout statistics: k=31 canonical k-mers,
+XOR-scrambled minimizer bins with ~20 keys/bin average (a 392GB reference DB
+at nt=15 averages ~25/bin).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_S = 9_400_000 / (14 * 60)  # paper.md:125
+
+
+def main():
+    t0 = time.time()
+    import jax
+
+    from krakenuniq_tpu.classify.device_step import StepConfig, classify_step
+    from krakenuniq_tpu.kmer import encode_batch
+    from krakenuniq_tpu.utils.demo import make_demo_db, make_demo_reads
+
+    n_species = int(os.environ.get("BENCH_SPECIES", 40))
+    genome_len = int(os.environ.get("BENCH_GENOME_LEN", 120_000))
+    k, nt = 31, 9
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    read_len = int(os.environ.get("BENCH_READ_LEN", 150))
+    reps = int(os.environ.get("BENCH_REPS", 10))
+
+    keys, vals, offsets, tax, genomes = make_demo_db(
+        n_species=n_species, genome_len=genome_len, k=k, nt=nt
+    )
+    vals_dense = tax.dense_index(vals)
+    print(
+        f"bench db: {len(keys)} keys, {int(np.diff(offsets).max())} max bin, "
+        f"built in {time.time()-t0:.1f}s; devices={jax.devices()}",
+        file=sys.stderr,
+    )
+
+    reads = make_demo_reads(genomes, n_reads=batch, read_len=read_len)
+    enc = encode_batch(reads, lb=max(128, read_len), batch=batch)
+    max_bin = int(np.diff(offsets).max())
+    cfg = StepConfig(
+        k=k,
+        nt=nt,
+        n_iter=max(1, int(np.ceil(np.log2(max_bin + 1))) + 1),
+        max_depth=tax.max_depth,
+    )
+    root = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
+    planes = (
+        (
+            jax.device_put(keys),
+            jax.device_put(vals),
+            jax.device_put(vals_dense),
+            jax.device_put(np.asarray(offsets)),
+            0,
+        ),
+    )
+    taxid_table = jax.device_put(tax.taxids.astype(np.uint32))
+    targs = tuple(jax.device_put(x) for x in (tax.tin, tax.tout, tax.parent))
+    codes = jax.device_put(enc.codes)
+    ambig = jax.device_put(enc.ambig)
+    lengths = jax.device_put(enc.lengths)
+
+    def step():
+        return classify_step(
+            planes, taxid_table, *targs, root, codes, ambig, lengths, cfg
+        )
+
+    t1 = time.time()
+    out = step()
+    jax.block_until_ready(out)
+    print(f"compile+first step: {time.time()-t1:.1f}s", file=sys.stderr)
+
+    t2 = time.time()
+    for _ in range(reps):
+        out = step()
+    jax.block_until_ready(out)
+    dt = time.time() - t2
+    reads_per_s = batch * reps / dt
+    kmers_per_s = reads_per_s * (read_len - k + 1)
+    print(
+        f"{reps} steps x {batch} reads in {dt:.3f}s -> {reads_per_s:,.0f} reads/s "
+        f"({kmers_per_s/1e6:,.1f}M lookups/s)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "single_chip_classify_reads_per_s",
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

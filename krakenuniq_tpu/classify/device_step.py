@@ -60,13 +60,10 @@ class StepConfig:
     quick: bool = False
     min_hits: int = 1
     with_kmers: bool = False  # also return canonical k-mers (--exact mode)
+    db_axis: str | None = None  # mesh axis name when the DB is minimizer-sharded
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg",),
-)
-def classify_step(
+def classify_step_core(
     db_planes,  # tuple of (keys, vals, vals_dense, offsets, bin_start) per database
     taxid_table: jax.Array,  # uint32 [T]: dense -> original taxid
     tin: jax.Array,
@@ -103,6 +100,12 @@ def classify_step(
         t_i, td_i = lookup_kmers(
             keys, vals, vals_dense, offsets, canon, bins, remaining, cfg.n_iter, bin_start
         )
+        if cfg.db_axis is not None:
+            # minimizer-range sharding: each k-mer's bin lives on exactly one
+            # shard (the invariant asserted by the reference's chunk merge,
+            # classify.cpp:447), so combining shard results is a plain sum
+            t_i = jax.lax.psum(t_i, cfg.db_axis)
+            td_i = jax.lax.psum(td_i, cfg.db_axis)
         taxon = jnp.where(remaining, t_i, taxon)
         taxon_dense = jnp.where(remaining, td_i, taxon_dense)
 
@@ -148,3 +151,6 @@ def classify_step(
     if cfg.with_kmers:
         out["canon"] = canon
     return out
+
+
+classify_step = jax.jit(classify_step_core, static_argnames=("cfg",))

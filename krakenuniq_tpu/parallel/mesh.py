@@ -1,0 +1,115 @@
+"""Mesh construction and the sharded classify step.
+
+Layout: a 2D `Mesh` with axes ("data", "db").
+  * The database planes are minimizer-range sharded along "db" (the model
+    axis -- the DB is the model) and replicated along "data".
+  * Read batches are sharded along "data" and replicated along "db".
+  * Inside shard_map each db-shard searches only its minimizer range; the
+    per-k-mer results are combined with a psum over "db" (exactly-one-shard
+    invariant), after which resolution/HLL proceed replicated.
+
+Collectives ride ICI; there is no host round-trip between lookup and
+resolve. This is the spatial generalization of the reference's serial
+`--preload-size` chunk loop (classify.cpp:566-791).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..classify.device_step import StepConfig, classify_step_core
+from .partition import ShardedDBPlanes
+
+
+def make_mesh(n_data: int, n_db: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if len(devices) < n_data * n_db:
+        raise ValueError(f"need {n_data * n_db} devices, have {len(devices)}")
+    grid = devices[: n_data * n_db].reshape(n_data, n_db)
+    return Mesh(grid, axis_names=("data", "db"))
+
+
+def make_sharded_classify_fn(
+    mesh: Mesh,
+    planes: ShardedDBPlanes,
+    taxid_table: np.ndarray,
+    tin: np.ndarray,
+    tout: np.ndarray,
+    parent: np.ndarray,
+    root_dense,
+    cfg: StepConfig,
+):
+    """Returns a jitted fn(codes, ambig, lengths) -> outputs dict, running the
+    classify step over the mesh with the DB minimizer-sharded along "db"."""
+    n_db = mesh.shape["db"]
+    assert planes.n_shards == n_db, (planes.n_shards, n_db)
+    cfg = StepConfig(**{**cfg.__dict__, "db_axis": "db"})
+
+    db_sharding = NamedSharding(mesh, P("db", None))
+    scalar_sharding = NamedSharding(mesh, P("db"))
+    repl = NamedSharding(mesh, P())
+
+    dev_planes = (
+        jax.device_put(planes.keys, db_sharding),
+        jax.device_put(planes.vals, db_sharding),
+        jax.device_put(planes.vals_dense, db_sharding),
+        jax.device_put(planes.offsets, db_sharding),
+        jax.device_put(planes.bin_start, scalar_sharding),
+    )
+    tax_args = tuple(
+        jax.device_put(np.asarray(x), repl) for x in (taxid_table, tin, tout, parent)
+    )
+    root_dense = jax.device_put(np.int32(root_dense), repl)
+
+    def core(keys, vals, vals_dense, offsets, bin_start, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
+        db_planes = ((keys[0], vals[0], vals_dense[0], offsets[0], bin_start[0]),)
+        return classify_step_core(
+            db_planes, taxid_table, tin, tout, parent, root, codes, ambig, lengths, cfg
+        )
+
+    out_specs = {
+        "taxa": P("data", None),
+        "ambig": P("data", None),
+        "processed": P("data", None),
+        "hll_lanes": P("data", None),
+        "enc": P("data", None),
+        "call": P("data"),
+        "call_dense": P("data"),
+        "hits": P("data"),
+        "n_kmers": P("data"),
+    }
+    if cfg.with_kmers:
+        out_specs["canon"] = P("data", None)
+
+    shard_fn = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(
+            P("db", None),  # keys
+            P("db", None),  # vals
+            P("db", None),  # vals_dense
+            P("db", None),  # offsets
+            P("db"),  # bin_start
+            P(),  # taxid_table
+            P(),  # tin
+            P(),  # tout
+            P(),  # parent
+            P(),  # root
+            P("data", None),  # codes
+            P("data", None),  # ambig
+            P("data"),  # lengths
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+    def fn(codes, ambig, lengths):
+        return shard_fn(
+            *dev_planes, *tax_args, root_dense, codes, ambig, lengths
+        )
+
+    return jax.jit(fn), dev_planes

@@ -1,0 +1,85 @@
+"""Minimizer-range database partitioning for multi-chip meshes.
+
+Generalizes the reference's out-of-core chunking (`--preload-size`,
+krakendb.cpp:463-522): where the reference binary-searches the largest
+minimizer range fitting a RAM budget and loads chunks SERIALLY, we cut the
+minimizer space into N ranges of (near-)equal key count and keep all N
+resident SIMULTANEOUSLY, one per device along the mesh's "db" axis. The
+correctness invariant is the same one the reference's chunk merge asserts
+(classify.cpp:447): each k-mer's minimizer lives in exactly one range.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def partition_bins_equal_keys(offsets: np.ndarray, n_shards: int) -> list[tuple[int, int]]:
+    """Cut bins [0, n_bins) into n_shards contiguous ranges with ~equal keys.
+
+    offsets: (n_bins + 1) cumulative key counts. Returns [(bin_lo, bin_hi)).
+    """
+    offsets = np.asarray(offsets, dtype=np.uint64)
+    n_bins = len(offsets) - 1
+    total = int(offsets[-1])
+    targets = [(total * i) // n_shards for i in range(1, n_shards)]
+    cuts = [0]
+    for t in targets:
+        cut = int(np.searchsorted(offsets, t, side="left"))
+        cut = max(cuts[-1], min(cut, n_bins))
+        cuts.append(cut)
+    cuts.append(n_bins)
+    return [(cuts[i], cuts[i + 1]) for i in range(n_shards)]
+
+
+@dataclasses.dataclass
+class ShardedDBPlanes:
+    """Stacked per-shard planes, padded to uniform sizes for SPMD."""
+
+    keys: np.ndarray  # uint64 [S, Nmax]; padding = all-ones sentinel
+    vals: np.ndarray  # uint32 [S, Nmax]
+    vals_dense: np.ndarray  # int32 [S, Nmax]
+    offsets: np.ndarray  # int64 [S, Bmax + 1]; shard-relative, last value repeated
+    bin_start: np.ndarray  # int64 [S]
+    max_bin: int
+
+    @property
+    def n_shards(self) -> int:
+        return self.keys.shape[0]
+
+
+def shard_db_planes(
+    keys: np.ndarray,
+    vals: np.ndarray,
+    vals_dense: np.ndarray,
+    offsets: np.ndarray,
+    n_shards: int,
+) -> ShardedDBPlanes:
+    bounds = partition_bins_equal_keys(offsets, n_shards)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    key_slices = [(int(offsets[lo]), int(offsets[hi])) for lo, hi in bounds]
+    n_max = max(e - s for s, e in key_slices)
+    b_max = max(hi - lo for lo, hi in bounds)
+
+    s_keys = np.full((n_shards, n_max), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    s_vals = np.zeros((n_shards, n_max), dtype=np.uint32)
+    s_vd = np.zeros((n_shards, n_max), dtype=np.int32)
+    s_off = np.zeros((n_shards, b_max + 1), dtype=np.int64)
+    s_start = np.zeros(n_shards, dtype=np.int64)
+    max_bin = 0
+    for i, ((blo, bhi), (klo, khi)) in enumerate(zip(bounds, key_slices)):
+        n = khi - klo
+        s_keys[i, :n] = keys[klo:khi]
+        s_vals[i, :n] = vals[klo:khi]
+        s_vd[i, :n] = vals_dense[klo:khi]
+        rel = offsets[blo : bhi + 1] - offsets[blo]
+        s_off[i, : len(rel)] = rel
+        s_off[i, len(rel) :] = rel[-1] if len(rel) else 0  # padded bins are empty
+        s_start[i] = blo
+        if bhi > blo:
+            max_bin = max(max_bin, int(np.diff(offsets[blo : bhi + 1]).max()))
+    return ShardedDBPlanes(
+        keys=s_keys, vals=s_vals, vals_dense=s_vd, offsets=s_off, bin_start=s_start, max_bin=max_bin
+    )

@@ -1,0 +1,76 @@
+"""Multi-chip sharding: N-shard mesh result must equal the single-chip result
+(the reference's own chunked-vs-preload equality guarantee, paper.md:112)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from krakenuniq_tpu.classify.device_step import StepConfig, classify_step
+from krakenuniq_tpu.db import load_database_dir
+from krakenuniq_tpu.kmer import encode_batch
+from krakenuniq_tpu.parallel import (
+    make_mesh,
+    make_sharded_classify_fn,
+    partition_bins_equal_keys,
+    shard_db_planes,
+)
+from krakenuniq_tpu.formats.seqio import read_sequences
+
+DATA = os.path.join(os.path.dirname(__file__), "golden", "data")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(DATA, "kraken.out")), reason="golden fixture missing"
+)
+
+
+def test_partitioner(rng):
+    sizes = rng.integers(0, 50, size=1000)
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.uint64)
+    bounds = partition_bins_equal_keys(offsets, 8)
+    assert bounds[0][0] == 0 and bounds[-1][1] == 1000
+    for (a, b), (c, d) in zip(bounds, bounds[1:]):
+        assert b == c  # contiguous
+    keys_per = [int(offsets[hi] - offsets[lo]) for lo, hi in bounds]
+    total = int(offsets[-1])
+    for kp in keys_per:
+        assert kp <= total // 8 + 50  # within one max-bin of balanced
+
+
+@pytest.mark.parametrize("n_data,n_db", [(2, 4), (1, 8), (8, 1), (4, 2)])
+def test_sharded_equals_single(n_data, n_db):
+    db, tax = load_database_dir(DATA)
+    reads = [d.seq for d in read_sequences(os.path.join(DATA, "reads.fa"))][:64]
+    enc = encode_batch(reads, lb=256, batch=64)
+    cfg = StepConfig(
+        k=db.k, nt=db.nt, n_iter=db.search_iters, max_depth=tax.max_depth
+    )
+    root = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
+    single = classify_step(
+        ((db.keys, db.vals, db.vals_dense, db.offsets, 0),),
+        tax.taxids.astype(np.uint32),
+        tax.tin,
+        tax.tout,
+        tax.parent,
+        root,
+        enc.codes,
+        enc.ambig,
+        enc.lengths,
+        cfg,
+    )
+
+    planes = shard_db_planes(
+        np.asarray(db.keys), np.asarray(db.vals), np.asarray(db.vals_dense),
+        np.asarray(db.offsets), n_db,
+    )
+    mesh = make_mesh(n_data, n_db)
+    fn, _ = make_sharded_classify_fn(
+        mesh, planes, tax.taxids.astype(np.uint32), tax.tin, tax.tout, tax.parent, root, cfg
+    )
+    sharded = fn(enc.codes, enc.ambig, enc.lengths)
+
+    for key in ("taxa", "ambig", "call", "hits", "enc", "hll_lanes"):
+        np.testing.assert_array_equal(
+            np.asarray(single[key]), np.asarray(sharded[key]), err_msg=key
+        )
