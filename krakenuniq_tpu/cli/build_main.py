@@ -1,0 +1,211 @@
+"""`krakenuniq-tpu-build` -- database construction CLI, flag-compatible with
+the reference `krakenuniq-build` / build_db.sh pipeline (6 restartable
+steps; steps already done are skipped via output-file existence, matching
+build_db.sh:116-304).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import shutil
+import sys
+
+from .. import __version__
+
+LIBRARY_EXTS = (".fna", ".fa", ".ffn", ".fasta", ".fsa", ".fna.gz", ".fa.gz", ".fasta.gz")
+
+
+def find_library_files(library_dirs: list[str]):
+    fastas, maps = [], []
+    for d in library_dirs:
+        for root, _, files in os.walk(d):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                if f.endswith(".map"):
+                    maps.append(p)
+                elif any(f.endswith(e) for e in LIBRARY_EXTS):
+                    fastas.append(p)
+    return sorted(fastas), sorted(maps)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="krakenuniq-tpu-build")
+    p.add_argument("--db", required=True, help="database directory")
+    p.add_argument("--kmer-len", type=int, default=31)
+    p.add_argument("--minimizer-len", type=int, default=15)
+    p.add_argument("--threads", type=int, default=1, help="accepted for compatibility")
+    p.add_argument("--build", action="store_true", help="(default task)")
+    p.add_argument("--rebuild", action="store_true", help="remove products first")
+    p.add_argument("--clean", action="store_true", help="remove intermediate files")
+    p.add_argument("--add-to-library", metavar="FILE", help="copy FILE into library/added/")
+    p.add_argument("--taxids-for-genomes", action="store_true")
+    p.add_argument("--taxids-for-sequences", action="store_true")
+    p.add_argument("--min-contig-size", type=int, default=0)
+    p.add_argument("--max-db-size", type=float, default=None, help="maximum database size in GB (down-samples k-mers)")
+    p.add_argument("--shrink", type=int, default=None, metavar="N", help="shrink existing DB to N k-mers")
+    p.add_argument("--shrink-block-offset", type=int, default=1)
+    p.add_argument("--work-on-disk", action="store_true", help="accepted no-op")
+    p.add_argument("--jellyfish-hash-size", help="accepted no-op (no Jellyfish needed)")
+    p.add_argument("--jellyfish-bin", help="accepted no-op")
+    p.add_argument("--library-dir", action="append", default=[])
+    p.add_argument("--taxonomy-dir", default=None)
+    p.add_argument("--uid-database", action="store_true")
+    p.add_argument("--lca-order", action="append", default=[])
+    p.add_argument("--version", action="version", version=f"KrakenUniq-TPU version {__version__}")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    db = args.db
+    os.makedirs(db, exist_ok=True)
+
+    if args.add_to_library:
+        dest = os.path.join(db, "library", "added")
+        os.makedirs(dest, exist_ok=True)
+        shutil.copy(args.add_to_library, dest)
+        print(f"Added {args.add_to_library} to library ({dest})", file=sys.stderr)
+        return 0
+
+    if args.clean:
+        for name in ("database.jdb", "database0.kdb", "seqid2taxid-plus.map", "library-files.fa"):
+            p = os.path.join(db, name)
+            if os.path.exists(p):
+                os.remove(p)
+        print("Cleaned intermediate files.", file=sys.stderr)
+        return 0
+
+    if args.uid_database or args.lca_order:
+        print("--uid-database/--lca-order are not implemented yet", file=sys.stderr)
+        return 2
+
+    if args.rebuild:
+        for name in ("database.kdb", "database.idx", "database.kdb.counts", "taxDB"):
+            p = os.path.join(db, name)
+            if os.path.exists(p):
+                os.remove(p)
+
+    from ..build.db_build import build_database, expand_dynamic_taxids, shrink_pairs
+    from ..formats import read_kdb, write_kdb, write_index
+    from ..formats.counts import counts_from_vals, write_counts
+    from ..taxonomy import Taxonomy
+    from ..utils.bits import bin_key
+    import numpy as np
+
+    kdb_path = os.path.join(db, "database.kdb")
+    idx_path = os.path.join(db, "database.idx")
+    taxdb_path = os.path.join(db, "taxDB")
+
+    if args.shrink:
+        hdr, keys, vals = read_kdb(kdb_path)
+        keys, vals = shrink_pairs(keys, vals, args.shrink, args.shrink_block_offset)
+        b = bin_key(keys, hdr.k, args.minimizer_len)
+        order = np.lexsort((keys, b))
+        keys, vals, b = keys[order], vals[order], b[order]
+        counts = np.bincount(b.astype(np.int64), minlength=4**args.minimizer_len)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint64)
+        out_dir = os.path.join(db + "_shrunk")
+        os.makedirs(out_dir, exist_ok=True)
+        write_kdb(os.path.join(out_dir, "database.kdb"), keys, vals, k=hdr.k)
+        write_index(os.path.join(out_dir, "database.idx"), args.minimizer_len, offsets)
+        shutil.copy(taxdb_path, os.path.join(out_dir, "taxDB"))
+        print(f"Shrunk database written to {out_dir}", file=sys.stderr)
+        return 0
+
+    if not (2 < args.kmer_len <= 31):
+        print("kmer-len must be in (2, 31]", file=sys.stderr)
+        return 64
+    if not (0 < args.minimizer_len < args.kmer_len):
+        print("minimizer-len must be positive and smaller than kmer-len", file=sys.stderr)
+        return 64
+
+    library_dirs = args.library_dir or [os.path.join(db, "library")]
+    tax_dir = args.taxonomy_dir or os.path.join(db, "taxonomy")
+
+    # step: taxDB from dumps (build_db.sh:224-241)
+    if os.path.exists(taxdb_path) and os.path.getsize(taxdb_path) > 0:
+        print("taxDB present, skipping taxonomy step", file=sys.stderr)
+        taxonomy = Taxonomy.from_taxdb_file(taxdb_path)
+    else:
+        nodes = os.path.join(tax_dir, "nodes.dmp")
+        names = os.path.join(tax_dir, "names.dmp")
+        if not os.path.exists(nodes):
+            print(f"no taxDB and no taxonomy dumps at {tax_dir}", file=sys.stderr)
+            return 1
+        print("Building taxDB from taxonomy dumps...", file=sys.stderr)
+        taxonomy = Taxonomy.from_ncbi_dumps(names, nodes)
+        taxonomy.write_taxdb(taxdb_path)
+
+    # step: seqid2taxid.map (build_db.sh:211-221)
+    map_path = os.path.join(db, "seqid2taxid.map")
+    fastas, maps = find_library_files(library_dirs)
+    if not os.path.exists(map_path):
+        if not maps:
+            print("no .map files found in library dirs", file=sys.stderr)
+            return 1
+        with open(map_path, "w") as out:
+            for m in maps:
+                with open(m) as f:
+                    out.write(f.read())
+
+    map_lines: list[tuple[str, int, str]] = []
+    with open(map_path) as f:
+        for line in f:
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) >= 2:
+                rest = fields[2] if len(fields) > 2 else ""
+                map_lines.append((fields[0], int(fields[1]), rest))
+
+    if args.taxids_for_genomes or args.taxids_for_sequences:
+        taxonomy, seqmap = expand_dynamic_taxids(
+            taxonomy,
+            map_lines,
+            for_assembly=args.taxids_for_genomes,
+            for_sequences=args.taxids_for_sequences,
+        )
+        taxonomy.write_taxdb(taxdb_path)
+        with open(map_path, "w") as f:
+            for seqid, taxid in seqmap.items():
+                f.write(f"{seqid}\t{taxid}\n")
+    else:
+        seqmap = {seqid: taxid for seqid, taxid, _ in map_lines}
+
+    # step: build LCA database (build_db.sh steps 1-3 + 6 in one pass)
+    if os.path.exists(kdb_path) and os.path.getsize(kdb_path) > 0:
+        print("database.kdb present, skipping build step", file=sys.stderr)
+        _, _, vals = read_kdb(kdb_path)
+    else:
+        if not fastas:
+            print("no library FASTA files found", file=sys.stderr)
+            return 1
+        print(f"Building database from {len(fastas)} library files "
+              f"(k={args.kmer_len}, minimizer={args.minimizer_len})...", file=sys.stderr)
+        max_kmers = None
+        if args.max_db_size:
+            pair_size = (2 * args.kmer_len) // 8 + (1 if (2 * args.kmer_len) % 8 else 0) + 4
+            max_kmers = int(args.max_db_size * (1 << 30) / pair_size)
+        res = build_database(
+            fastas,
+            seqmap,
+            taxonomy,
+            k=args.kmer_len,
+            nt=args.minimizer_len,
+            db_dir=None,
+            min_sequence_size=args.min_contig_size,
+            max_kmers=max_kmers,
+        )
+        write_kdb(kdb_path, res.keys, res.vals, k=args.kmer_len)
+        write_index(idx_path, args.minimizer_len, res.offsets)
+        vals = res.vals
+
+    counts_path = kdb_path + ".counts"
+    if not os.path.exists(counts_path):
+        write_counts(counts_path, counts_from_vals(vals))
+    print("Database build complete.", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -287,3 +287,21 @@ class Taxonomy:
                 i = p
                 self.genome_size_children[i] += np.uint64(size)
         self.has_genome_sizes = True
+
+    def with_added_nodes(self, nodes) -> "Taxonomy":
+        """Return a new Taxonomy with (taxid, parent, name, rank) nodes
+        appended (the reference's dynamic insert, taxdb.hpp:712-734)."""
+        taxids = [int(t) for t in self.taxids]
+        parents = [int(self.taxids[p]) for p in self.parent]
+        names = list(self.names)
+        ranks = list(self.ranks)
+        gs = list(int(x) for x in self.genome_size)
+        gsc = list(int(x) for x in self.genome_size_children)
+        for taxid, parent, name, rank in nodes:
+            taxids.append(int(taxid))
+            parents.append(int(parent))
+            names.append(name)
+            ranks.append(rank)
+            gs.append(0)
+            gsc.append(0)
+        return Taxonomy._build(taxids, parents, names, ranks, gs, gsc, self.has_genome_sizes)
