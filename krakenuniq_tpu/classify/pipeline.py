@@ -82,6 +82,15 @@ class Classifier:
         self.opts = options or ClassifyOptions()
         self.db_dirs = [os.fspath(d) for d in db_dirs]
         self.taxonomy = Taxonomy.from_taxdb_file(os.path.join(self.db_dirs[0], "taxDB"))
+        self.uid_map = None
+        if uid_database:
+            if self.opts.quick:
+                raise ValueError("Quick mode not available when mapping UIDs")
+            if len(self.db_dirs) > 1:
+                raise ValueError("Cannot use more than one database with UID mapping!")
+            from .uid import UidMap
+
+            self.uid_map = UidMap(os.path.join(self.db_dirs[0], "uid_to_taxid.map"))
         self.dbs: list[DeviceDB] = []
         for d in self.db_dirs:
             db, _ = load_database_dir(d, taxonomy=self.taxonomy, uid_database=uid_database)
@@ -189,6 +198,19 @@ class Classifier:
         taxa = np.asarray(out["taxa"])
         ambig = np.asarray(out["ambig"])
         calls = np.asarray(out["call"])[: len(unit)]
+        if self.uid_map is not None:
+            # UID resolution happens on host (resolve_uids3 semantics);
+            # the device 'call' is meaningless for UID-valued databases
+            from .uid import resolve_uids
+
+            calls = np.empty(len(unit), dtype=np.uint32)
+            nk_arr = np.asarray(out["n_kmers"])
+            for i in range(len(unit)):
+                row = taxa[i, : int(nk_arr[i])]
+                hits: dict[int, int] = {}
+                for u in row[row != 0].tolist():
+                    hits[u] = hits.get(u, 0) + 1
+                calls[i] = resolve_uids(hits, self.uid_map, self.taxonomy.lca_fold)
         hll_lanes = np.asarray(out["hll_lanes"])
         hits = np.asarray(out["hits"])
         n_kmers = np.asarray(out["n_kmers"])

@@ -77,8 +77,8 @@ def main(argv=None) -> int:
         print("Cleaned intermediate files.", file=sys.stderr)
         return 0
 
-    if args.uid_database or args.lca_order:
-        print("--uid-database/--lca-order are not implemented yet", file=sys.stderr)
+    if args.lca_order:
+        print("--lca-order is not implemented yet", file=sys.stderr)
         return 2
 
     if args.rebuild:
@@ -203,6 +203,18 @@ def main(argv=None) -> int:
     counts_path = kdb_path + ".counts"
     if not os.path.exists(counts_path):
         write_counts(counts_path, counts_from_vals(vals))
+
+    # optional UID database (build_db.sh:316-348)
+    uid_kdb = os.path.join(db, "uid_database.kdb")
+    if args.uid_database and not os.path.exists(uid_kdb):
+        from ..build.uid_build import build_uid_database
+        from ..formats import read_index
+
+        hdr, keys, _ = read_kdb(kdb_path)
+        _, nt_idx, offsets = read_index(idx_path)
+        print("Building UID database...", file=sys.stderr)
+        build_uid_database(fastas, seqmap, keys, hdr.k, nt_idx, offsets, db)
+
     print("Database build complete.", file=sys.stderr)
     return 0
 

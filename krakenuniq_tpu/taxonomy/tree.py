@@ -305,3 +305,27 @@ class Taxonomy:
             gs.append(0)
             gsc.append(0)
         return Taxonomy._build(taxids, parents, names, ranks, gs, gsc, self.has_genome_sizes)
+
+    def lca_fold(self, taxids) -> int:
+        """LCA of a set of taxids (fold semantics of krakenutil.cpp:90-118:
+        unknown/disconnected members resolve toward the root)."""
+        ids = [int(t) for t in taxids if int(t) != 0]
+        if not ids:
+            return 0
+        dense = self.dense_index(np.asarray(ids, dtype=np.uint32))
+        known = dense[(self.taxids[dense] == np.asarray(ids, dtype=np.uint32))]
+        if len(known) == 0:
+            return 1
+        tins = self.tin[known]
+        tmin, tmax = int(tins.min()), int(tins.max())
+        node = int(known[0])
+        while True:
+            if self.tin[node] <= tmin and tmax < self.tout[node]:
+                break
+            p = int(self.parent[node])
+            if p == node:
+                return 1
+            node = p
+        if len(known) < len(ids):
+            return 1  # some member had no tree entry -> reference lca gives 1
+        return int(self.taxids[node])
