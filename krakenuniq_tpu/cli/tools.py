@@ -102,3 +102,123 @@ def extract_reads_main(argv=None) -> int:
         paired=a.paired,
     )
     return 0
+
+
+def dump_taxdb_main(argv=None) -> int:
+    """taxDB -> names.dmp + nodes.dmp round trip (dump_taxdb.cpp:27-56),
+    emitted in sorted-taxid order (the reference's hash order is arbitrary)."""
+    p = argparse.ArgumentParser(prog="krakenuniq-tpu-dump-taxdb")
+    p.add_argument("taxdb")
+    p.add_argument("names_dmp")
+    p.add_argument("nodes_dmp")
+    a = p.parse_args(argv)
+    from ..taxonomy import Taxonomy
+
+    tax = Taxonomy.from_taxdb_file(a.taxdb)
+    import numpy as np
+
+    with open(a.nodes_dmp, "w") as nodes, open(a.names_dmp, "w") as names:
+        for i in np.argsort(tax.taxids, kind="stable"):
+            t = int(tax.taxids[i])
+            if t == 0:
+                continue
+            parent = int(tax.taxids[tax.parent[i]])
+            nodes.write(f"{t}\t|\t{parent}\t|\t{tax.ranks[i]}\n")
+            names.write(f"{t}\t|\t{tax.names[i]}\t|\t\t|\tscientific name\n")
+    return 0
+
+
+def query_taxdb_main(argv=None) -> int:
+    """Lineage queries against a taxDB (query_taxdb.cpp:48-77)."""
+    p = argparse.ArgumentParser(prog="krakenuniq-tpu-query-taxdb")
+    p.add_argument("-L", dest="lineage", action="store_true", help="print MetaPhlAn lineage (default)")
+    p.add_argument("taxdb")
+    p.add_argument("taxids", nargs="*")
+    a = p.parse_args(argv)
+    from ..taxonomy import Taxonomy
+
+    tax = Taxonomy.from_taxdb_file(a.taxdb)
+
+    def emit(taxid: int):
+        print(f"{taxid}\t{tax.metaphlan_lineage(taxid)}")
+
+    for t in a.taxids:
+        emit(int(t))
+    if not sys.stdin.isatty() and not a.taxids:
+        for line in sys.stdin:
+            for t in line.split():
+                emit(int(t))
+    return 0
+
+
+def dump_db_kmers_main(argv=None) -> int:
+    """Dump database k-mers as 64-bit numbers, one per line.
+
+    NOTE: intentionally NOT bug-compatible -- the reference tool
+    (dump_db_kmers.cpp:45-59) reads from the file start instead of past the
+    header, emitting header bytes and misaligned pairs. This version dumps
+    the actual keys."""
+    p = argparse.ArgumentParser(prog="krakenuniq-tpu-dump-db-kmers")
+    p.add_argument("database")
+    a = p.parse_args(argv)
+    from ..formats import read_kdb
+
+    _, keys, _ = read_kdb(a.database)
+    w = sys.stdout
+    for v in keys.tolist():
+        w.write(f"{v}\n")
+    return 0
+
+
+def count_unique_main(argv=None) -> int:
+    """Estimate distinct k-mers on stdin FASTA via HLL (count_unique.cpp:51-81;
+    non-canonical k-mers, per-block dense counters merged)."""
+    p = argparse.ArgumentParser(prog="krakenuniq-tpu-count-unique")
+    p.add_argument("-k", type=int, default=31)
+    p.add_argument("-p", dest="precision", type=int, default=14)
+    p.add_argument("-t", dest="threads", type=int, default=1)
+    p.add_argument("-m", dest="minimizer", type=int, default=None, help="accepted no-op")
+    a = p.parse_args(argv)
+    import numpy as np
+
+    from ..formats.seqio import read_fasta
+    from ..hll import HLL
+    from ..kmer.encode import BASE_CODE_TABLE, AMBIG_TABLE
+
+    counter = HLL(a.precision, sparse=True)
+    for dna in read_fasta(sys.stdin):
+        seq = np.frombuffer(dna.seq.encode(), np.uint8)
+        if len(seq) < a.k:
+            continue
+        codes = BASE_CODE_TABLE[seq].astype(np.uint64)
+        ambig = AMBIG_TABLE[seq]
+        n = len(seq) - a.k + 1
+        km = np.zeros(n, dtype=np.uint64)
+        bad = np.zeros(n, dtype=bool)
+        for t in range(a.k):
+            km |= codes[t : t + n] << np.uint64(2 * (a.k - 1 - t))
+            bad |= ambig[t : t + n]
+        block = HLL(a.precision, sparse=False)
+        block.insert_items(km[~bad])
+        counter.merge(block)
+    print(counter.cardinality())
+    return 0
+
+
+def read_uid_mapping_main(argv=None) -> int:
+    """Dump / query a UID map file (read_uid_mapping.cpp:29-67)."""
+    p = argparse.ArgumentParser(prog="krakenuniq-tpu-read-uid-mapping")
+    p.add_argument("uid_map")
+    p.add_argument("uids", nargs="*", type=int)
+    a = p.parse_args(argv)
+    from ..classify.uid import UidMap
+
+    m = UidMap(a.uid_map)
+    if not a.uids:
+        for i in range(len(m)):
+            print(f"{i + 1}\t{m.taxids[i]}\t{m.parents[i]}")
+    else:
+        for uid in a.uids:
+            taxids = " ".join(str(t) for t in m.taxid_set(uid).tolist())
+            print(f"{uid}\t{taxids} ")
+    return 0

@@ -93,14 +93,14 @@ class HLL:
 
     __slots__ = ("p", "m", "sparse", "sparse_set", "M", "n_observed", "use_n_observed")
 
-    def __init__(self, p: int = 12):
+    def __init__(self, p: int = 12, sparse: bool = True):
         if p < 4 or p > 18:
             raise ValueError("precision must be between 4 and 18")
         self.p = p
         self.m = 1 << p
-        self.sparse = True
+        self.sparse = sparse
         self.sparse_set: np.ndarray = np.empty(0, dtype=np.uint32)  # sorted unique
-        self.M: np.ndarray | None = None
+        self.M: np.ndarray | None = None if sparse else np.zeros(self.m, dtype=np.uint8)
         self.n_observed = 0
         self.use_n_observed = True
 

@@ -329,3 +329,48 @@ class Taxonomy:
         if len(known) < len(ids):
             return 1  # some member had no tree entry -> reference lca gives 1
         return int(self.taxids[node])
+
+    def lineage(self, taxid: int) -> str:
+        """Semicolon lineage string (taxdb.hpp:764-780): skips 'cellular
+        organisms' (131567), resets above species, ends with '.'."""
+        out = ""
+        i = int(self.dense_index(np.asarray([taxid], dtype=np.uint32))[0])
+        if int(self.taxids[i]) != int(taxid):
+            return ""
+        while True:
+            t = int(self.taxids[i])
+            if t != 131567:
+                if out:
+                    out = "; " + out
+                out = self.names[i] + out
+                if self.ranks[i] == "species":
+                    out = ""
+            p = int(self.parent[i])
+            if p == i:
+                if out:
+                    out += "."
+                break
+            i = p
+        return out
+
+    _MPA_RANKS = {
+        "species": "s", "genus": "g", "family": "f", "order": "o",
+        "class": "c", "phylum": "p", "superkingdom": "k",
+    }
+
+    def metaphlan_lineage(self, taxid: int) -> str:
+        """MetaPhlAn-style lineage (taxdb.hpp:783-825)."""
+        i = int(self.dense_index(np.asarray([taxid], dtype=np.uint32))[0])
+        if int(self.taxids[i]) != int(taxid):
+            return ""
+        if self.ranks[i] == "superphylum":
+            return ""
+        parts: list[str] = []
+        while True:
+            code = self._MPA_RANKS.get(self.ranks[i], "-")
+            parts.insert(0, f"|{code}__{self.names[i]}")
+            p = int(self.parent[i])
+            if p == i:
+                break
+            i = p
+        return "".join(parts).replace(" ", "_")

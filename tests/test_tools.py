@@ -1,0 +1,83 @@
+"""Small DB/taxonomy inspection tools vs reference behavior."""
+
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from krakenuniq_tpu.cli import tools
+
+DATA = os.path.join(os.path.dirname(__file__), "golden", "data")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(DATA, "query_taxdb.out")), reason="golden fixture missing"
+)
+
+
+def run_main(fn, argv, stdin_text=""):
+    out = io.StringIO()
+    old_out, old_in = sys.stdout, sys.stdin
+    sys.stdout = out
+    sys.stdin = io.StringIO(stdin_text)
+    try:
+        rc = fn(argv)
+    finally:
+        sys.stdout, sys.stdin = old_out, old_in
+    return rc, out.getvalue()
+
+
+def test_query_taxdb_matches_reference():
+    rc, out = run_main(
+        tools.query_taxdb_main, [os.path.join(DATA, "taxDB"), "211", "311", "22", "1"]
+    )
+    assert rc == 0
+    assert out == open(os.path.join(DATA, "query_taxdb.out")).read()
+
+
+def test_count_unique_matches_reference():
+    rc, out = run_main(
+        tools.count_unique_main,
+        ["-k", "21", "-p", "14"],
+        stdin_text=open(os.path.join(DATA, "library.fna")).read(),
+    )
+    assert rc == 0
+    assert out.strip() == open(os.path.join(DATA, "count_unique.out")).read().strip()
+
+
+def test_dump_db_kmers():
+    rc, out = run_main(tools.dump_db_kmers_main, [os.path.join(DATA, "database.kdb")])
+    assert rc == 0
+    from krakenuniq_tpu.formats import read_kdb
+
+    _, keys, _ = read_kdb(os.path.join(DATA, "database.kdb"))
+    got = np.asarray([int(x) for x in out.split()], dtype=np.uint64)
+    np.testing.assert_array_equal(got, keys)
+
+
+def test_dump_taxdb_roundtrip(tmp_path):
+    rc, _ = run_main(
+        tools.dump_taxdb_main,
+        [os.path.join(DATA, "taxDB"), str(tmp_path / "names.dmp"), str(tmp_path / "nodes.dmp")],
+    )
+    assert rc == 0
+    from krakenuniq_tpu.taxonomy import Taxonomy
+
+    tax = Taxonomy.from_ncbi_dumps(tmp_path / "names.dmp", tmp_path / "nodes.dmp")
+    out = io.StringIO()
+    tax.write_taxdb(out)
+    assert out.getvalue() == open(os.path.join(DATA, "taxDB")).read()
+
+
+def test_read_uid_mapping():
+    rc, out = run_main(
+        tools.read_uid_mapping_main, [os.path.join(DATA, "uid_to_taxid.map")]
+    )
+    assert rc == 0
+    lines = out.splitlines()
+    assert lines[0].split("\t")[0] == "1"
+    rc, out = run_main(
+        tools.read_uid_mapping_main, [os.path.join(DATA, "uid_to_taxid.map"), "3"]
+    )
+    assert rc == 0 and out.startswith("3\t")
