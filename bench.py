@@ -94,13 +94,53 @@ def main():
         f"({kmers_per_s/1e6:,.1f}M lookups/s)",
         file=sys.stderr,
     )
+    # ---- full pipeline (file -> kraken output + report accumulation) ----
+    import io
+    import tempfile
+
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+    from krakenuniq_tpu.build.db_build import build_database  # noqa: F401 (import check)
+
+    n_bench_reads = int(os.environ.get("BENCH_PIPELINE_READS", 200_000))
+    with tempfile.TemporaryDirectory() as td:
+        # write DB dir + reads file
+        from krakenuniq_tpu.formats import write_kdb, write_index
+
+        write_kdb(os.path.join(td, "database.kdb"), keys, vals, k=k)
+        write_index(os.path.join(td, "database.idx"), nt, np.asarray(offsets, dtype=np.uint64))
+        tax.write_taxdb(os.path.join(td, "taxDB"))
+        reads_path = os.path.join(td, "bench_reads.fa")
+        rng = np.random.default_rng(3)
+        sids = list(genomes)
+        with open(reads_path, "w") as f:
+            for i in range(n_bench_reads):
+                g = genomes[sids[int(rng.integers(len(sids)))]]
+                start = int(rng.integers(0, len(g) - read_len))
+                f.write(f">r{i}\n{g[start:start+read_len]}\n")
+
+        c = Classifier([td], ClassifyOptions(print_progress=False))
+        sink = open(os.devnull, "w")
+        t3 = time.time()
+        c.run([reads_path], kraken_fh=sink)
+        dt_pipe = time.time() - t3
+        rep = io.StringIO()
+        t4 = time.time()
+        c.write_report(rep)
+        dt_rep = time.time() - t4
+    pipe_reads_per_s = n_bench_reads / dt_pipe
+    print(
+        f"full pipeline: {n_bench_reads} reads in {dt_pipe:.2f}s -> "
+        f"{pipe_reads_per_s:,.0f} reads/s (report {dt_rep:.2f}s)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
-                "metric": "single_chip_classify_reads_per_s",
-                "value": round(reads_per_s, 1),
+                "metric": "end_to_end_classify_reads_per_s",
+                "value": round(pipe_reads_per_s, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+                "vs_baseline": round(pipe_reads_per_s / BASELINE_READS_PER_S, 3),
             }
         )
     )

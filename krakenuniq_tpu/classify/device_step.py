@@ -61,6 +61,7 @@ class StepConfig:
     min_hits: int = 1
     with_kmers: bool = False  # also return canonical k-mers (--exact mode)
     db_axis: str | None = None  # mesh axis name when the DB is minimizer-sharded
+    max_runs: int = 0  # if > 0, emit RLE hit-list runs (packed single-fetch output)
 
 
 def classify_step_core(
@@ -150,7 +151,64 @@ def classify_step_core(
     }
     if cfg.with_kmers:
         out["canon"] = canon
+    if cfg.max_runs > 0:
+        out["packed"] = _pack_runs(
+            taxon, kmer_ambig, valid, call, total_hits, n_kmers[:, 0], cfg.max_runs
+        )
+        # single-fetch accumulate feed: taxon<<32 | hll-encoding per counted
+        # lane, all-ones sentinel elsewhere
+        out["hll_pairs"] = jnp.where(
+            hll_lanes,
+            (taxon.astype(jnp.uint64) << jnp.uint64(32)) | enc.astype(jnp.uint64),
+            jnp.uint64(0xFFFFFFFFFFFFFFFF),
+        )
     return out
+
+
+def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs):
+    """RLE-encode each read's per-k-mer hit codes on device and pack the
+    whole per-read result into one uint32 matrix so the host needs a single
+    transfer per batch.
+
+    Row layout (R = max_runs):  [run_vals(R) | run_lens(R) | call | hits |
+    n_kmers | n_runs].  run_lens carries the ambiguity flag in bit 31
+    (an 'A:' run).  Reads with more than R runs report n_runs > R and are
+    re-fetched row-wise by the host (rare).
+    """
+    b, w = taxon.shape
+    r = max_runs
+    code = jnp.where(kmer_ambig, jnp.int64(-1), taxon.astype(jnp.int64))
+    code = jnp.where(valid, code, jnp.int64(-2))
+    prev = jnp.concatenate([jnp.full((b, 1), jnp.int64(-3)), code[:, :-1]], axis=1)
+    change = (code != prev) & valid
+    run_id = jnp.cumsum(change.astype(jnp.int32), axis=1) - 1  # -1 before first run
+    n_runs = jnp.max(jnp.where(valid, run_id, -1), axis=1) + 1
+
+    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, w))
+    flat_idx = rows * r + jnp.clip(run_id, 0, r - 1)
+    flat_idx = jnp.where(valid & (run_id < r), flat_idx, b * r)  # spill bucket
+
+    run_vals = jnp.zeros(b * r + 1, dtype=jnp.uint32).at[flat_idx].max(taxon)
+    run_lens = jnp.zeros(b * r + 1, dtype=jnp.uint32).at[flat_idx].add(
+        jnp.uint32(1) * valid.astype(jnp.uint32)
+    )
+    run_amb = jnp.zeros(b * r + 1, dtype=jnp.uint32).at[flat_idx].max(
+        kmer_ambig.astype(jnp.uint32) << jnp.uint32(31)
+    )
+    run_vals = run_vals[: b * r].reshape(b, r)
+    run_lens = (run_lens[: b * r] | run_amb[: b * r]).reshape(b, r)
+
+    return jnp.concatenate(
+        [
+            run_vals,
+            run_lens,
+            call.astype(jnp.uint32)[:, None],
+            hits.astype(jnp.uint32)[:, None],
+            n_kmers.astype(jnp.uint32)[:, None],
+            n_runs.astype(jnp.uint32)[:, None],
+        ],
+        axis=1,
+    )
 
 
 classify_step = jax.jit(classify_step_core, static_argnames=("cfg",))

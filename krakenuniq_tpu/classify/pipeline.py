@@ -2,8 +2,14 @@
 
 Streams reads in work units (greedy >= unit_size bp, replicating the
 deterministic partition of classify.cpp:511-521), pads each unit into a
-bucketed (B, LB) batch, runs the jitted device step, and handles all text
-output + per-taxon accumulation on host.
+bucketed (B, LB) batch, runs the jitted device step, and handles text output
+and per-taxon accumulation on host.
+
+Two host paths:
+  * native (default when the kuniq_native extension is built): work units
+    are parsed/encoded/formatted in C++ -- the host never materializes
+    per-read Python objects on the hot path
+  * pure Python fallback with identical semantics
 """
 
 from __future__ import annotations
@@ -38,7 +44,13 @@ from .accumulate import TaxonCounter
 from .device_step import StepConfig, classify_step
 from .output import kraken_line
 
+try:
+    from .. import kuniq_native as _native
+except ImportError:  # extension not built; pure-Python path
+    _native = None
+
 DEF_WORK_UNIT_SIZE = 500_000  # bp, classify.cpp:38
+_CHUNK_BYTES = 8 << 20
 
 
 @dataclasses.dataclass
@@ -63,6 +75,9 @@ class ClassifyOptions:
     full_report: bool = False
     report_zeros: bool = False
     print_progress: bool = True
+    use_native: bool = True
+    device_batch_reads: int = 16384  # units per device dispatch are grouped up to this
+    max_runs: int = 32  # device-side RLE run slots per read (overflow -> host fallback)
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -123,6 +138,11 @@ class Classifier:
             quick=self.opts.quick,
             min_hits=self.opts.min_hits,
             with_kmers=self.opts.exact,
+            max_runs=(
+                self.opts.max_runs
+                if (_native is not None and self.opts.use_native and not self.opts.exact)
+                else 0
+            ),
         )
         self.counter = TaxonCounter(effective_p, exact=self.opts.exact)
         self.total_sequences = 0
@@ -147,6 +167,38 @@ class Classifier:
             if unit:
                 yield unit, fastq
 
+    def _native_chunks(self, path: str):
+        """Parse the input in large byte chunks; yields (buf, offs, multi,
+        fastq) containing only complete records."""
+        fastq = is_fastq(path)
+        with open_maybe_compressed(path, "rb") as fh:
+            carry = b""
+            while True:
+                chunk = fh.read(_CHUNK_BYTES)
+                eof = not chunk
+                buf = carry + chunk
+                if not buf:
+                    break
+                n, offs, multi = _native.parse_unit(buf, fastq)
+                if n == 0:
+                    if eof:
+                        break
+                    carry = buf
+                    continue
+                if not eof:
+                    # drop the last (possibly incomplete) record, carry it over
+                    last_start = int(offs[n - 1, 2]) - 1  # hdr_off - 1 ('>'/'@')
+                    if n == 1:
+                        carry = buf
+                        continue
+                    offs = offs[: n - 1]
+                    carry = buf[last_start:]
+                else:
+                    carry = b""
+                yield buf, offs, multi, fastq
+                if eof:
+                    break
+
     # ------------------------------------------------------------- main loop
 
     def run(
@@ -156,18 +208,233 @@ class Classifier:
         classified_fh=None,
         unclassified_fh=None,
     ) -> None:
-        from ..kmer import encode_batch
-
         t0 = time.time()
+        use_native = (
+            _native is not None
+            and self.opts.use_native
+            and not self.opts.print_sequence  # -s needs Python records
+        )
         for path in input_paths:
-            for unit, fastq in self._work_units(path):
-                self._process_unit(unit, fastq, kraken_fh, classified_fh, unclassified_fh)
-                if self.opts.print_progress:
-                    pct = 100.0 * self.total_classified / max(self.total_sequences, 1)
-                    sys.stderr.write(
-                        f"\r Processed {self.total_sequences} sequences ({pct:.2f}% classified)"
-                    )
+            if use_native:
+                self._run_native(path, kraken_fh, classified_fh, unclassified_fh)
+            else:
+                for unit, fastq in self._work_units(path):
+                    self._process_unit(unit, fastq, kraken_fh, classified_fh, unclassified_fh)
+                    self._progress()
         self._elapsed = time.time() - t0
+
+    def _progress(self):
+        if self.opts.print_progress:
+            pct = 100.0 * self.total_classified / max(self.total_sequences, 1)
+            sys.stderr.write(
+                f"\r Processed {self.total_sequences} sequences ({pct:.2f}% classified)"
+            )
+
+    # ------------------------------------------------------------ native path
+
+    def _run_native(self, path, kraken_fh, classified_fh, unclassified_fh) -> None:
+        pending = None  # records carried to honor unit semantics across chunks
+        for buf, offs, multi, fastq in self._native_chunks(path):
+            if multi:
+                # rare: multi-line FASTA records in this chunk -> Python records
+                from io import StringIO
+
+                text = buf.decode("ascii", "replace")
+                reader = read_fastq(StringIO(text)) if fastq else read_fasta(StringIO(text))
+                recs = list(reader)[: len(offs)]
+                unit: list[DNASequence] = []
+                total_nt = 0
+                for dna in recs:
+                    unit.append(dna)
+                    total_nt += len(dna.seq)
+                    if total_nt >= self.opts.work_unit_size:
+                        self._process_unit(unit, fastq, kraken_fh, classified_fh, unclassified_fh)
+                        unit, total_nt = [], 0
+                if unit:
+                    self._process_unit(unit, fastq, kraken_fh, classified_fh, unclassified_fh)
+                self._progress()
+                continue
+
+            # split records into work units by cumulative sequence length,
+            # then group consecutive units into one device dispatch
+            seq_lens = offs[:, 5]
+            target = self.opts.work_unit_size
+            bounds = [0]
+            acc = 0
+            for i in range(len(offs)):
+                acc += int(seq_lens[i])
+                if acc >= target:
+                    bounds.append(i + 1)
+                    acc = 0
+            if bounds[-1] != len(offs):
+                bounds.append(len(offs))
+            i = 0
+            max_reads = self.opts.device_batch_reads
+            while i < len(bounds) - 1:
+                j = i + 1
+                while j < len(bounds) - 1 and bounds[j + 1] - bounds[i] <= max_reads:
+                    j += 1
+                span = offs[bounds[i] : bounds[j]]
+                unit_bounds = [b - bounds[i] for b in bounds[i : j + 1]]
+                self._process_native_span(
+                    buf, span, unit_bounds, fastq, kraken_fh, classified_fh, unclassified_fh
+                )
+                i = j
+            self._progress()
+
+    def _process_native_span(
+        self, buf, offs, unit_bounds, fastq, kraken_fh, classified_fh, unclassified_fh
+    ):
+        """Run several work units in one device dispatch; fetch the packed RLE
+        matrix + the hll-pair plane (two transfers total), then accumulate
+        per unit."""
+        opts = self.opts
+        n_span = len(offs)
+        if n_span == 0:
+            return
+        seq_lens = np.ascontiguousarray(offs[:, 5].astype(np.int32))
+        max_len = int(seq_lens.max())
+        if max_len > opts.max_read_len:
+            raise NotImplementedError(
+                f"reads longer than {opts.max_read_len} bp are not supported yet"
+            )
+        lb = _bucket(max(max_len, self.k), max(128, self.k))
+        b = _bucket(n_span, opts.min_batch_reads)
+        offs_c = np.ascontiguousarray(offs)
+        codes, ambig_arr, lengths = _native.encode_unit(buf, offs_c, lb, b)
+        out = self._device_step(codes, ambig_arr, lengths)
+
+        r = self._cfg.max_runs
+        packed = np.asarray(out["packed"])[:n_span]
+        calls = packed[:, 2 * r].copy()
+        n_kmers = packed[:, 2 * r + 2].astype(np.int32)
+        n_runs = packed[:, 2 * r + 3]
+
+        if opts.exact:
+            taxa_full = np.asarray(out["taxa"])
+            hll_lanes = np.asarray(out["hll_lanes"])
+            canon = np.asarray(out["canon"])
+        else:
+            pairs = np.asarray(out["hll_pairs"])[:n_span]
+
+        if self.uid_map is not None:
+            taxa_full = np.asarray(out["taxa"])
+            calls = self._resolve_uid_calls(taxa_full, n_kmers, calls, n_span)
+
+        # per-unit accumulation (preserves work-unit HLL semantics)
+        for s_, e_ in zip(unit_bounds[:-1], unit_bounds[1:]):
+            if opts.exact:
+                row_ok = hll_lanes[s_:e_]
+                counted = canon[s_:e_][row_ok]
+                counted_taxa = taxa_full[s_:e_][row_ok]
+            else:
+                flat = pairs[s_:e_].reshape(-1)
+                flat = flat[flat != np.uint64(0xFFFFFFFFFFFFFFFF)]
+                counted_taxa = (flat >> np.uint64(32)).astype(np.uint32)
+                counted = (flat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            self.counter.process_unit(counted_taxa, counted, calls[s_:e_])
+
+        if kraken_fh is not None:
+            # rows whose run count overflowed the device RLE buffer
+            ov_rows = np.flatnonzero(n_runs > r).astype(np.int64)
+            ov_lines = []
+            if len(ov_rows):
+                taxa_rows = np.asarray(out["taxa"][ov_rows])
+                ambig_rows = np.asarray(out["ambig"][ov_rows])
+                for z, row_i in enumerate(ov_rows.tolist()):
+                    nk = int(n_kmers[row_i])
+                    rid = buf[offs_c[row_i, 0] : offs_c[row_i, 0] + offs_c[row_i, 1]].decode()
+                    ov_lines.append(
+                        kraken_line(
+                            rid,
+                            int(calls[row_i]),
+                            int(seq_lens[row_i]),
+                            taxa_rows[z, :nk],
+                            ambig_rows[z, :nk],
+                            quick=opts.quick,
+                            hits=int(packed[row_i, 2 * r + 1]),
+                        ).encode()
+                    )
+            if self.uid_map is not None:
+                packed = packed.copy()
+                packed[:, 2 * r] = calls
+            lines = _native.kraken_lines_rle(
+                buf,
+                np.ascontiguousarray(offs_c[:n_span, 0]),
+                np.ascontiguousarray(offs_c[:n_span, 1]),
+                np.ascontiguousarray(packed),
+                r,
+                seq_lens,
+                bool(opts.quick),
+                bool(opts.only_classified_output),
+                ov_rows,
+                ov_lines,
+            )
+            if hasattr(kraken_fh, "buffer"):
+                kraken_fh.buffer.write(lines)
+            else:
+                try:
+                    kraken_fh.write(lines)
+                except TypeError:
+                    kraken_fh.write(lines.decode())
+
+        if classified_fh is not None or unclassified_fh is not None:
+            for i in range(n_span):
+                fh = classified_fh if calls[i] else unclassified_fh
+                if fh is None:
+                    continue
+                hdr = buf[offs_c[i, 2] : offs_c[i, 2] + offs_c[i, 3]].decode()
+                seq = buf[offs_c[i, 4] : offs_c[i, 4] + offs_c[i, 5]].decode()
+                if fastq:
+                    quals = buf[offs_c[i, 6] : offs_c[i, 6] + offs_c[i, 7]].decode()
+                    fh.write(f"@{hdr}\n{seq}\n+\n{quals}\n")
+                else:
+                    fh.write(f">{hdr}\n{seq}\n")
+
+        self.total_classified += int(np.count_nonzero(calls))
+        self.total_sequences += n_span
+        self.total_bases += int(seq_lens.sum())
+
+    # ------------------------------------------------------------ shared core
+
+    def _device_step(self, codes, ambig, lengths):
+        return classify_step(
+            self._db_planes,
+            self._taxid_table,
+            self._tin,
+            self._tout,
+            self._parent,
+            self._root_dense,
+            codes,
+            ambig,
+            lengths,
+            self._cfg,
+        )
+
+    def _resolve_uid_calls(self, taxa, n_kmers, calls, n_unit):
+        if self.uid_map is None:
+            return calls
+        from .uid import resolve_uids
+
+        out = np.empty(n_unit, dtype=np.uint32)
+        for i in range(n_unit):
+            row = taxa[i, : int(n_kmers[i])]
+            hits: dict[int, int] = {}
+            for u in row[row != 0].tolist():
+                hits[u] = hits.get(u, 0) + 1
+            out[i] = resolve_uids(hits, self.uid_map, self.taxonomy.lca_fold)
+        return out
+
+    def _accumulate(self, out, taxa, calls, n_unit):
+        hll_lanes = np.asarray(out["hll_lanes"])
+        mask_rows = np.zeros(hll_lanes.shape[0], dtype=bool)
+        mask_rows[:n_unit] = True
+        row_ok = mask_rows[:, None] & hll_lanes
+        counted = np.asarray(out["canon"] if self.opts.exact else out["enc"])[row_ok]
+        counted_taxa = taxa[row_ok]
+        self.counter.process_unit(counted_taxa, counted, calls)
+
+    # ------------------------------------------------------------ python path
 
     def _process_unit(self, unit, fastq, kraken_fh, classified_fh, unclassified_fh) -> None:
         from ..kmer import encode_batch
@@ -183,49 +450,15 @@ class Classifier:
         b = _bucket(len(unit), opts.min_batch_reads)
         enc = encode_batch([d.seq for d in unit], lb=lb, batch=b)
 
-        out = classify_step(
-            self._db_planes,
-            self._taxid_table,
-            self._tin,
-            self._tout,
-            self._parent,
-            self._root_dense,
-            enc.codes,
-            enc.ambig,
-            enc.lengths,
-            self._cfg,
-        )
+        out = self._device_step(enc.codes, enc.ambig, enc.lengths)
         taxa = np.asarray(out["taxa"])
         ambig = np.asarray(out["ambig"])
         calls = np.asarray(out["call"])[: len(unit)]
-        if self.uid_map is not None:
-            # UID resolution happens on host (resolve_uids3 semantics);
-            # the device 'call' is meaningless for UID-valued databases
-            from .uid import resolve_uids
-
-            calls = np.empty(len(unit), dtype=np.uint32)
-            nk_arr = np.asarray(out["n_kmers"])
-            for i in range(len(unit)):
-                row = taxa[i, : int(nk_arr[i])]
-                hits: dict[int, int] = {}
-                for u in row[row != 0].tolist():
-                    hits[u] = hits.get(u, 0) + 1
-                calls[i] = resolve_uids(hits, self.uid_map, self.taxonomy.lca_fold)
-        hll_lanes = np.asarray(out["hll_lanes"])
         hits = np.asarray(out["hits"])
         n_kmers = np.asarray(out["n_kmers"])
+        calls = self._resolve_uid_calls(taxa, n_kmers, calls, len(unit))
+        self._accumulate(out, taxa, calls, len(unit))
 
-        # padding rows beyond len(unit) have length 0 => no k-mer lanes, but
-        # exclude them defensively
-        mask_rows = np.zeros(hll_lanes.shape[0], dtype=bool)
-        mask_rows[: len(unit)] = True
-        row_ok = mask_rows[:, None] & hll_lanes
-        counted = np.asarray(out["canon"] if opts.exact else out["enc"])[row_ok]
-        counted_taxa = taxa[row_ok]
-
-        self.counter.process_unit(counted_taxa, counted, calls)
-
-        # text outputs
         for i, dna in enumerate(unit):
             call = int(calls[i])
             self.total_classified += call != 0

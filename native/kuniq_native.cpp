@@ -1,0 +1,364 @@
+/* Native host pipeline for krakenuniq_tpu.
+ *
+ * The TPU runs the compute path; this extension keeps the host side off the
+ * Python interpreter for the three byte-level hot loops:
+ *   - parse_unit:   FASTA/FASTQ work-unit parsing into offset tables
+ *   - encode_unit:  2-bit base encoding + ambiguity flags into the padded
+ *                   (B, LB) device-feed arrays
+ *   - kraken_lines: RLE hit-list formatting of the classifier output
+ *                   (reference classify.cpp:826-861 semantics)
+ *
+ * Built as a C extension via the CPython API (no pybind11 in this image).
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Record {
+  int64_t id_off, id_len;
+  int64_t hdr_off, hdr_len;
+  int64_t seq_off, seq_len;
+  int64_t qual_off, qual_len;
+};
+
+// base code table: A/C/G/T (either case) -> 0..3, everything else ambiguous
+static uint8_t CODE[256];
+static uint8_t AMBIG[256];
+
+void init_tables() {
+  memset(CODE, 0, sizeof(CODE));
+  memset(AMBIG, 1, sizeof(AMBIG));
+  const char* bases = "ACGT";
+  for (int i = 0; i < 4; i++) {
+    CODE[(unsigned char)bases[i]] = (uint8_t)i;
+    CODE[(unsigned char)tolower(bases[i])] = (uint8_t)i;
+    AMBIG[(unsigned char)bases[i]] = 0;
+    AMBIG[(unsigned char)tolower(bases[i])] = 0;
+  }
+}
+
+inline int64_t line_end(const char* buf, int64_t pos, int64_t n) {
+  const char* nl = (const char*)memchr(buf + pos, '\n', (size_t)(n - pos));
+  return nl ? (int64_t)(nl - buf) : n;
+}
+
+inline int64_t trim_cr(const char* buf, int64_t start, int64_t end) {
+  while (end > start && (buf[end - 1] == '\r')) end--;
+  return end;
+}
+
+/* parse_unit(buffer: bytes, fastq: bool) ->
+ *   (n, int64 array [n, 8] of record offsets, concat_needed: bool)
+ * FASTA sequences may span multiple lines; when they do, seq_off/len refer
+ * to the FIRST line only and seq_len is negated as a marker (the Python
+ * caller re-concatenates those rare records). Single-line records (the
+ * overwhelmingly common case for reads) are fully described. */
+PyObject* parse_unit(PyObject*, PyObject* args) {
+  Py_buffer view;
+  int fastq;
+  if (!PyArg_ParseTuple(args, "y*p", &view, &fastq)) return nullptr;
+  const char* buf = (const char*)view.buf;
+  int64_t n = (int64_t)view.len;
+
+  std::vector<Record> recs;
+  recs.reserve(4096);
+  int64_t pos = 0;
+  bool multiline = false;
+
+  if (fastq) {
+    while (pos < n) {
+      int64_t he = line_end(buf, pos, n);
+      if (he == pos) break;  // blank line terminates
+      if (buf[pos] != '@') break;
+      Record r{};
+      r.hdr_off = pos + 1;
+      r.hdr_len = trim_cr(buf, r.hdr_off, he) - r.hdr_off;
+      // id = up to first whitespace
+      int64_t idend = r.hdr_off;
+      while (idend < r.hdr_off + r.hdr_len && buf[idend] != ' ' && buf[idend] != '\t')
+        idend++;
+      r.id_off = r.hdr_off;
+      r.id_len = idend - r.hdr_off;
+      pos = he + 1;
+      int64_t se = line_end(buf, pos, n);
+      r.seq_off = pos;
+      r.seq_len = trim_cr(buf, pos, se) - pos;
+      pos = se + 1;
+      int64_t pe = line_end(buf, pos, n);  // '+' line
+      pos = pe + 1;
+      int64_t qe = line_end(buf, pos, n);
+      r.qual_off = pos;
+      r.qual_len = trim_cr(buf, pos, qe) - pos;
+      pos = qe + 1;
+      recs.push_back(r);
+    }
+  } else {
+    while (pos < n) {
+      if (buf[pos] != '>') break;
+      int64_t he = line_end(buf, pos, n);
+      Record r{};
+      r.hdr_off = pos + 1;
+      r.hdr_len = trim_cr(buf, r.hdr_off, he) - r.hdr_off;
+      int64_t idend = r.hdr_off;
+      while (idend < r.hdr_off + r.hdr_len && buf[idend] != ' ' && buf[idend] != '\t')
+        idend++;
+      r.id_off = r.hdr_off;
+      r.id_len = idend - r.hdr_off;
+      pos = he + 1;
+      r.seq_off = pos;
+      int64_t first_end = trim_cr(buf, pos, line_end(buf, pos, n));
+      int64_t nlines = 0;
+      while (pos < n && buf[pos] != '>') {
+        pos = line_end(buf, pos, n) + 1;
+        nlines++;
+      }
+      r.seq_len = first_end - r.seq_off;
+      if (nlines > 1) {
+        r.seq_len = -r.seq_len;  // marker: multi-line, caller handles
+        multiline = true;
+      }
+      r.qual_off = 0;
+      r.qual_len = 0;
+      recs.push_back(r);
+    }
+  }
+  PyBuffer_Release(&view);
+
+  npy_intp dims[2] = {(npy_intp)recs.size(), 8};
+  PyObject* arr = PyArray_SimpleNew(2, dims, NPY_INT64);
+  if (!arr) return nullptr;
+  memcpy(PyArray_DATA((PyArrayObject*)arr), recs.data(), recs.size() * sizeof(Record));
+  return Py_BuildValue("(nNO)", (Py_ssize_t)recs.size(), arr,
+                       multiline ? Py_True : Py_False);
+}
+
+/* encode_unit(buffer, offsets int64[n,8], lb, batch) ->
+ *   (codes uint8[batch,lb], ambig bool[batch,lb], lengths int32[batch]) */
+PyObject* encode_unit(PyObject*, PyObject* args) {
+  Py_buffer view;
+  PyArrayObject* offs;
+  long lb, batch;
+  if (!PyArg_ParseTuple(args, "y*O!ll", &view, &PyArray_Type, &offs, &lb, &batch))
+    return nullptr;
+  const char* buf = (const char*)view.buf;
+  int64_t nrec = PyArray_DIM(offs, 0);
+  const Record* recs = (const Record*)PyArray_DATA(offs);
+
+  npy_intp cdims[2] = {batch, lb};
+  npy_intp ldims[1] = {batch};
+  PyArrayObject* codes = (PyArrayObject*)PyArray_ZEROS(2, cdims, NPY_UINT8, 0);
+  PyArrayObject* ambig = (PyArrayObject*)PyArray_EMPTY(2, cdims, NPY_BOOL, 0);
+  PyArrayObject* lengths = (PyArrayObject*)PyArray_ZEROS(1, ldims, NPY_INT32, 0);
+  if (!codes || !ambig || !lengths) return nullptr;
+  uint8_t* cp = (uint8_t*)PyArray_DATA(codes);
+  uint8_t* ap = (uint8_t*)PyArray_DATA(ambig);
+  int32_t* lp = (int32_t*)PyArray_DATA(lengths);
+  memset(ap, 1, (size_t)(batch * lb));
+
+  for (int64_t i = 0; i < nrec && i < batch; i++) {
+    int64_t len = recs[i].seq_len;
+    if (len < 0) len = -len;  // multi-line: first line only; caller fixed it up
+    if (len > lb) len = lb;
+    const char* s = buf + recs[i].seq_off;
+    uint8_t* crow = cp + i * lb;
+    uint8_t* arow = ap + i * lb;
+    for (int64_t j = 0; j < len; j++) {
+      unsigned char ch = (unsigned char)s[j];
+      crow[j] = CODE[ch];
+      arow[j] = AMBIG[ch];
+    }
+    lp[i] = (int32_t)len;
+  }
+  PyBuffer_Release(&view);
+  return Py_BuildValue("(NNN)", codes, ambig, lengths);
+}
+
+/* kraken_lines(ids: bytes (concatenated), id_off int64[n], id_len int64[n],
+ *              calls uint32[n], seq_lens int32[n], n_kmers int32[n],
+ *              taxa uint32[n, W], ambig uint8(bool)[n, W],
+ *              quick: bool, hits int32[n], only_classified: bool) -> bytes
+ * Formats classify.cpp:980-1010 output lines with the RLE hit list. */
+PyObject* kraken_lines(PyObject*, PyObject* args) {
+  Py_buffer ids;
+  PyArrayObject *id_off, *id_len, *calls, *seq_lens, *n_kmers, *taxa, *ambig, *hits;
+  int quick, only_classified;
+  if (!PyArg_ParseTuple(args, "y*O!O!O!O!O!O!O!pO!p", &ids, &PyArray_Type, &id_off,
+                        &PyArray_Type, &id_len, &PyArray_Type, &calls, &PyArray_Type,
+                        &seq_lens, &PyArray_Type, &n_kmers, &PyArray_Type, &taxa,
+                        &PyArray_Type, &ambig, &quick, &PyArray_Type, &hits,
+                        &only_classified))
+    return nullptr;
+
+  int64_t n = PyArray_DIM(calls, 0);
+  int64_t w = PyArray_DIM(taxa, 1);
+  const char* idbuf = (const char*)ids.buf;
+  const int64_t* ioff = (const int64_t*)PyArray_DATA(id_off);
+  const int64_t* ilen = (const int64_t*)PyArray_DATA(id_len);
+  const uint32_t* cp = (const uint32_t*)PyArray_DATA(calls);
+  const int32_t* slp = (const int32_t*)PyArray_DATA(seq_lens);
+  const int32_t* nkp = (const int32_t*)PyArray_DATA(n_kmers);
+  const uint32_t* tp = (const uint32_t*)PyArray_DATA(taxa);
+  const uint8_t* ap = (const uint8_t*)PyArray_DATA(ambig);
+  const int32_t* hp = (const int32_t*)PyArray_DATA(hits);
+
+  std::string out;
+  out.reserve((size_t)n * 48);
+  char tmp[64];
+
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t call = cp[i];
+    if (!call && only_classified) continue;
+    out += call ? "C\t" : "U\t";
+    out.append(idbuf + ioff[i], (size_t)ilen[i]);
+    int len = snprintf(tmp, sizeof(tmp), "\t%u\t%d\t", call, slp[i]);
+    out.append(tmp, (size_t)len);
+    if (quick) {
+      len = snprintf(tmp, sizeof(tmp), "Q:%d", hp[i]);
+      out.append(tmp, (size_t)len);
+    } else {
+      int32_t nk = nkp[i];
+      if (nk <= 0) {
+        out += "0:0";
+      } else {
+        const uint32_t* trow = tp + i * w;
+        const uint8_t* arow = ap + i * w;
+        int64_t last_code = arow[0] ? -1 : (int64_t)trow[0];
+        int64_t count = 1;
+        for (int32_t j = 1; j < nk; j++) {
+          int64_t code = arow[j] ? -1 : (int64_t)trow[j];
+          if (code == last_code) {
+            count++;
+          } else {
+            if (last_code >= 0)
+              len = snprintf(tmp, sizeof(tmp), "%lld:%lld ", (long long)last_code,
+                             (long long)count);
+            else
+              len = snprintf(tmp, sizeof(tmp), "A:%lld ", (long long)count);
+            out.append(tmp, (size_t)len);
+            count = 1;
+            last_code = code;
+          }
+        }
+        if (last_code >= 0)
+          len = snprintf(tmp, sizeof(tmp), "%lld:%lld", (long long)last_code,
+                         (long long)count);
+        else
+          len = snprintf(tmp, sizeof(tmp), "A:%lld", (long long)count);
+        out.append(tmp, (size_t)len);
+      }
+    }
+    out += '\n';
+  }
+  PyBuffer_Release(&ids);
+  return PyBytes_FromStringAndSize(out.data(), (Py_ssize_t)out.size());
+}
+
+
+/* kraken_lines_rle(ids: bytes, id_off int64[n], id_len int64[n],
+ *                  packed uint32[n, 2R+4], R,
+ *                  seq_lens int32[n] (overrides packed? no: lens from caller),
+ *                  quick, only_classified,
+ *                  overflow_idx int64[m], overflow_lines: list[bytes])
+ * Row layout of packed: run_vals(R) | run_lens(R, bit31=ambig) | call | hits |
+ * n_kmers | n_runs.  Overflow rows (n_runs > R) take their pre-rendered line
+ * from overflow_lines (matched by position in overflow_idx). */
+PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
+  Py_buffer ids;
+  PyArrayObject *id_off, *id_len, *packed, *seq_lens, *ov_idx;
+  long R;
+  int quick, only_classified;
+  PyObject* ov_lines;
+  if (!PyArg_ParseTuple(args, "y*O!O!O!lO!ppO!O", &ids, &PyArray_Type, &id_off,
+                        &PyArray_Type, &id_len, &PyArray_Type, &packed, &R,
+                        &PyArray_Type, &seq_lens, &quick, &only_classified,
+                        &PyArray_Type, &ov_idx, &ov_lines))
+    return nullptr;
+  int64_t n = PyArray_DIM(packed, 0);
+  int64_t stride = PyArray_DIM(packed, 1);
+  const char* idbuf = (const char*)ids.buf;
+  const int64_t* ioff = (const int64_t*)PyArray_DATA(id_off);
+  const int64_t* ilen = (const int64_t*)PyArray_DATA(id_len);
+  const uint32_t* pk = (const uint32_t*)PyArray_DATA(packed);
+  const int32_t* slp = (const int32_t*)PyArray_DATA(seq_lens);
+  const int64_t* ovp = (const int64_t*)PyArray_DATA(ov_idx);
+  int64_t n_ov = PyArray_DIM(ov_idx, 0);
+  int64_t ov_pos = 0;
+
+  std::string out;
+  out.reserve((size_t)n * 48);
+  char tmp[64];
+  for (int64_t i = 0; i < n; i++) {
+    const uint32_t* row = pk + i * stride;
+    uint32_t call = row[2 * R];
+    uint32_t hits = row[2 * R + 1];
+    uint32_t n_kmers = row[2 * R + 2];
+    uint32_t n_runs = row[2 * R + 3];
+    if (ov_pos < n_ov && ovp[ov_pos] == i) {
+      // pre-rendered overflow line
+      PyObject* line = PyList_GetItem(ov_lines, (Py_ssize_t)ov_pos);
+      ov_pos++;
+      if (line && PyBytes_Check(line))
+        out.append(PyBytes_AS_STRING(line), (size_t)PyBytes_GET_SIZE(line));
+      continue;
+    }
+    if (!call && only_classified) continue;
+    out += call ? "C\t" : "U\t";
+    out.append(idbuf + ioff[i], (size_t)ilen[i]);
+    int len = snprintf(tmp, sizeof(tmp), "\t%u\t%d\t", call, slp[i]);
+    out.append(tmp, (size_t)len);
+    if (quick) {
+      len = snprintf(tmp, sizeof(tmp), "Q:%u", hits);
+      out.append(tmp, (size_t)len);
+    } else if (n_kmers == 0 || n_runs == 0) {
+      out += "0:0";
+    } else {
+      for (uint32_t j = 0; j < n_runs && (long)j < R; j++) {
+        uint32_t v = row[j];
+        uint32_t lw = row[R + j];
+        uint32_t amb = lw >> 31;
+        uint32_t l = lw & 0x7FFFFFFFu;
+        if (j) out += ' ';
+        if (amb)
+          len = snprintf(tmp, sizeof(tmp), "A:%u", l);
+        else
+          len = snprintf(tmp, sizeof(tmp), "%u:%u", v, l);
+        out.append(tmp, (size_t)len);
+      }
+    }
+    out += '\n';
+  }
+  PyBuffer_Release(&ids);
+  return PyBytes_FromStringAndSize(out.data(), (Py_ssize_t)out.size());
+}
+
+PyMethodDef methods[] = {
+    {"parse_unit", parse_unit, METH_VARARGS, "Parse a FASTA/FASTQ work unit"},
+    {"encode_unit", encode_unit, METH_VARARGS, "2-bit encode parsed records"},
+    {"kraken_lines", kraken_lines, METH_VARARGS, "Format kraken output lines"},
+    {"kraken_lines_rle", kraken_lines_rle, METH_VARARGS,
+     "Format kraken output lines from device RLE runs"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "kuniq_native", "native host pipeline", -1, methods,
+    nullptr, nullptr, nullptr, nullptr,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit_kuniq_native(void) {
+  import_array();
+  init_tables();
+  return PyModule_Create(&moduledef);
+}
