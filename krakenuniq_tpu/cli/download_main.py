@@ -1,0 +1,83 @@
+"""`krakenuniq-tpu-download` -- NCBI library/taxonomy downloader CLI,
+pattern- and flag-compatible with scripts/krakenuniq-download."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .. import __version__
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="krakenuniq-tpu-download",
+        description=(
+            "Download reference sequences and taxonomy from NCBI. Patterns: "
+            "'taxonomy', 'contaminants', 'viral-neighbors', "
+            "'refseq/DOMAIN[/ASS_LEVEL[/COL=VAL]*]', 'genbank/DOMAIN[...]', "
+            "'nucleotide' (with --search/--ac)"
+        ),
+    )
+    p.add_argument("patterns", nargs="+")
+    p.add_argument("-o", "--output", default=".", help="download directory")
+    p.add_argument("--db", default=None, help="download to <db>/{library,taxonomy}")
+    p.add_argument("--threads", "-P", type=int, default=1, help="accepted for compatibility")
+    p.add_argument("--rsync", "-R", action="store_true", help="accepted no-op (https used)")
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--dust", "-D", action="store_true", help="dustmask low-complexity regions")
+    p.add_argument("--min-seq-len", type=int, default=0)
+    p.add_argument("--fna", default="genomic", help="sequence types for refseq/genbank")
+    p.add_argument("--search", "--term", dest="search", default=None)
+    p.add_argument("--ac", default=None, help="comma-separated accessions")
+    p.add_argument("--rettype", default="fasta")
+    p.add_argument("--retmode", default="text")
+    p.add_argument("--mapping-file", default=None, help="accepted no-op (taxids from summaries)")
+    p.add_argument("--taxa", default=None, help="taxa filter for nt subsets")
+    p.add_argument("--exclude-environmental-taxa", action="store_true")
+    p.add_argument("--filter-unplaced", "-u", action="store_true")
+    p.add_argument("--version", action="version", version=f"KrakenUniq-TPU version {__version__}")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..build.download import Downloader
+
+    db_dir = args.db or args.output
+    dl = Downloader(
+        db_dir,
+        overwrite=args.overwrite,
+        dust=args.dust,
+        min_seq_len=args.min_seq_len,
+        verbose=True,
+    )
+    for pattern in args.patterns:
+        try:
+            if pattern == "nucleotide":
+                if args.ac:
+                    dl.download_accessions(args.ac.split(","), rettype=args.rettype)
+                elif args.search:
+                    dl.download_search("nucleotide", args.search, args.retmode, args.rettype)
+                else:
+                    print("'nucleotide' needs --search or --ac", file=sys.stderr)
+                    return 64
+            elif pattern.startswith(("refseq/", "genbank/")):
+                dl.download_assemblies(pattern, fna_types=args.fna)
+            else:
+                dl.download(pattern)
+        except ValueError as e:
+            print(f"krakenuniq-tpu-download: {e}", file=sys.stderr)
+            return 64
+        except OSError as e:
+            print(
+                f"krakenuniq-tpu-download: network error for {pattern}: {e}",
+                file=sys.stderr,
+            )
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
