@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..kmer import ops as kops
 from ..lookup import lookup_kmers
+from ..lookup.hash_lookup import hash_lookup_kmers
 from ..taxonomy.resolve import resolve_reads
 from ..utils.bits import P_PRIME
 
@@ -62,6 +63,11 @@ class StepConfig:
     with_kmers: bool = False  # also return canonical k-mers (--exact mode)
     db_axis: str | None = None  # mesh axis name when the DB is minimizer-sharded
     max_runs: int = 0  # if > 0, emit RLE hit-list runs (packed single-fetch output)
+    # "hash": bucketed row-gather lookup (planes are (table,), bucket bits in
+    # hash_lbs); "bsearch": two-level binary search (planes are
+    # (keys, vals, vals_dense, offsets, bin_start))
+    lookup_mode: str = "bsearch"
+    hash_lbs: tuple = ()  # per-database bucket bits (static)
 
 
 def classify_step_core(
@@ -80,12 +86,11 @@ def classify_step_core(
     b, lb = codes.shape
     w = lb - k + 1
 
-    canon, bins, kmer_ambig = (
-        kops.pack_windows(codes, k),
-        kops.minimizers(codes, k, cfg.nt),
-        kops.window_any(ambig, k),
-    )
-    canon = kops.canonical_representation(canon, k)
+    canon = kops.canonical_representation(kops.pack_windows(codes, k), k)
+    kmer_ambig = kops.window_any(ambig, k)
+    hashes = murmur3_finalizer_device(canon)
+    if cfg.lookup_mode == "bsearch":
+        bins = kops.minimizers(codes, k, cfg.nt)
 
     pos = jnp.arange(w, dtype=jnp.int32)[None, :]
     n_kmers = jnp.maximum(lengths - (k - 1), 0)[:, None]  # 0 if read shorter than k
@@ -96,11 +101,18 @@ def classify_step_core(
     taxon_dense = jnp.zeros((b, w), dtype=jnp.int32)
     # hierarchical multi-DB: later DBs only fill lanes still unclassified
     # (classify.cpp:927-936)
-    for keys, vals, vals_dense, offsets, bin_start in db_planes:
+    for db_i, plane in enumerate(db_planes):
         remaining = search & (taxon == 0)
-        t_i, td_i = lookup_kmers(
-            keys, vals, vals_dense, offsets, canon, bins, remaining, cfg.n_iter, bin_start
-        )
+        if cfg.lookup_mode == "hash":
+            (table,) = plane
+            t_i, td_i = hash_lookup_kmers(
+                table, canon, hashes, remaining, cfg.hash_lbs[db_i]
+            )
+        else:
+            keys, vals, vals_dense, offsets, bin_start = plane
+            t_i, td_i = lookup_kmers(
+                keys, vals, vals_dense, offsets, canon, bins, remaining, cfg.n_iter, bin_start
+            )
         if cfg.db_axis is not None:
             # minimizer-range sharding: each k-mer's bin lives on exactly one
             # shard (the invariant asserted by the reference's chunk merge,
@@ -134,9 +146,10 @@ def classify_step_core(
         call = jnp.take(taxid_table, call_dense)
 
     # HLL: every processed non-ambiguous k-mer is counted, including misses
-    # under taxon 0 (classify.cpp:939)
+    # under taxon 0 (classify.cpp:939); the same murmur output drives the
+    # hash-table buckets and the HLL encoding
     hll_lanes = processed & ~kmer_ambig
-    enc = encode_hash_device(murmur3_finalizer_device(canon), cfg.hll_p)
+    enc = encode_hash_device(hashes, cfg.hll_p)
 
     out = {
         "taxa": taxon,

@@ -125,9 +125,13 @@ class Classifier:
         self._tout = jax.device_put(tax.tout)
         self._parent = jax.device_put(tax.parent)
         self._root_dense = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
-        self._db_planes = tuple(
-            (db.keys, db.vals, db.vals_dense, db.offsets, db.bin_start) for db in self.dbs
-        )
+        use_hash = all(db.hash_table is not None for db in self.dbs)
+        if use_hash:
+            self._db_planes = tuple((db.hash_table,) for db in self.dbs)
+        else:
+            self._db_planes = tuple(
+                (db.keys, db.vals, db.vals_dense, db.offsets, db.bin_start) for db in self.dbs
+            )
         effective_p = self.opts.hll_precision if self.opts.true_hll_precision else 12
         self._cfg = StepConfig(
             k=self.k,
@@ -143,6 +147,8 @@ class Classifier:
                 if (_native is not None and self.opts.use_native and not self.opts.exact)
                 else 0
             ),
+            lookup_mode="hash" if use_hash else "bsearch",
+            hash_lbs=tuple(db.hash_lb for db in self.dbs) if use_hash else (),
         )
         self.counter = TaxonCounter(effective_p, exact=self.opts.exact)
         self.total_sequences = 0

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..formats import read_kdb, read_index
 from ..taxonomy import Taxonomy
+from .hash_table import build_hash_table
 
 
 @dataclasses.dataclass
@@ -39,6 +40,9 @@ class DeviceDB:
     max_bin: int  # largest bin size (bounds the binary-search trip count)
     bin_start: int = 0  # first minimizer bin owned by this shard
     key_start: int = 0  # global pair index of keys[0]
+    # bucketed hash table (db/hash_table.py); the default device lookup path
+    hash_table: jax.Array | None = None  # uint64 [n_buckets, 16]
+    hash_lb: int = 0
 
     @property
     def n_bins(self) -> int:
@@ -63,6 +67,7 @@ def build_device_db(
     taxonomy: Taxonomy | None,
     idx_type: int = 2,
     device=None,
+    use_hash: bool = True,
 ) -> DeviceDB:
     offsets = np.asarray(offsets, dtype=np.int64)
     bin_sizes = np.diff(offsets)
@@ -81,6 +86,15 @@ def build_device_db(
             )
     else:
         vals_dense = np.zeros(len(vals), dtype=np.int32)
+    htable, hlb = (None, 0)
+    if use_hash:
+        ht, hlb = build_hash_table(
+            np.ascontiguousarray(keys, dtype=np.uint64),
+            np.ascontiguousarray(vals, dtype=np.uint32),
+            np.ascontiguousarray(vals_dense, dtype=np.int32),
+        )
+        put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
+        htable = put(ht)
     dk, dv, dvd, doff = _device_put_planes(
         np.ascontiguousarray(keys, dtype=np.uint64),
         np.ascontiguousarray(vals, dtype=np.uint32),
@@ -98,6 +112,8 @@ def build_device_db(
         idx_type=idx_type,
         key_ct=len(keys),
         max_bin=max_bin,
+        hash_table=htable,
+        hash_lb=hlb,
     )
 
 
