@@ -50,22 +50,22 @@ def main():
     reads = make_demo_reads(genomes, n_reads=batch, read_len=read_len)
     enc = encode_batch(reads, lb=max(128, read_len), batch=batch)
     max_bin = int(np.diff(offsets).max())
+    from krakenuniq_tpu.db.hash_table import build_hash_table
+
+    t_ht = time.time()
+    table, hash_lb = build_hash_table(keys, vals, vals_dense)
+    print(f"hash table: {table.nbytes/1e6:.0f}MB, lb={hash_lb}, "
+          f"built in {time.time()-t_ht:.1f}s", file=sys.stderr)
     cfg = StepConfig(
         k=k,
         nt=nt,
         n_iter=max(1, int(np.ceil(np.log2(max_bin + 1))) + 1),
         max_depth=tax.max_depth,
+        lookup_mode="hash",
+        hash_lbs=(hash_lb,),
     )
     root = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
-    planes = (
-        (
-            jax.device_put(keys),
-            jax.device_put(vals),
-            jax.device_put(vals_dense),
-            jax.device_put(np.asarray(offsets)),
-            0,
-        ),
-    )
+    planes = ((jax.device_put(table),),)
     taxid_table = jax.device_put(tax.taxids.astype(np.uint32))
     targs = tuple(jax.device_put(x) for x in (tax.tin, tax.tout, tax.parent))
     codes = jax.device_put(enc.codes)
@@ -79,13 +79,14 @@ def main():
 
     t1 = time.time()
     out = step()
-    jax.block_until_ready(out)
+    _ = np.asarray(out["call"])  # forced sync: the axon transport's
+    # block_until_ready returns before execution finishes
     print(f"compile+first step: {time.time()-t1:.1f}s", file=sys.stderr)
 
     t2 = time.time()
     for _ in range(reps):
         out = step()
-    jax.block_until_ready(out)
+        _ = np.asarray(out["call"])
     dt = time.time() - t2
     reads_per_s = batch * reps / dt
     kmers_per_s = reads_per_s * (read_len - k + 1)
@@ -118,7 +119,13 @@ def main():
                 start = int(rng.integers(0, len(g) - read_len))
                 f.write(f">r{i}\n{g[start:start+read_len]}\n")
 
-        c = Classifier([td], ClassifyOptions(print_progress=False))
+        c = Classifier(
+            [td],
+            ClassifyOptions(
+                print_progress=False,
+                device_counters=os.environ.get("BENCH_DEVICE_COUNTERS", "1") == "1",
+            ),
+        )
         sink = open(os.devnull, "w")
         t3 = time.time()
         c.run([reads_path], kraken_fh=sink)

@@ -1,0 +1,115 @@
+"""Device-resident per-taxon accumulation (--device-counters fast mode).
+
+Keeps the whole taxon_counts state in HBM across the run: per-taxon read and
+k-mer counters plus dense HLL registers, updated in-place every batch with
+scatter-adds/maxes; the host fetches the state ONCE at the end. This removes
+the per-k-mer device->host traffic of the exact-compat mode.
+
+Trade-off (documented): unique-k-mer estimates come from dense registers for
+every taxon, whereas the reference keeps low-cardinality taxa in sparse mode
+(higher effective precision) -- estimates are HLL-quality but not
+bit-identical to the reference for taxa under ~1000 unique k-mers per the
+sparse threshold. Read/k-mer counts are exact. Current limit: the dense
+taxonomy must fit the register plane (taxonomy size <= max_taxa slots).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hll import HLL, ReadCounts
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("p",))
+def _update(
+    reg: jax.Array,  # uint8 [T, m]
+    kmer_counts: jax.Array,  # int64 [T]
+    read_counts: jax.Array,  # int64 [T]
+    taxa_dense: jax.Array,  # int32 [B, W]
+    enc: jax.Array,  # uint32 [B, W]
+    hll_lanes: jax.Array,  # bool [B, W]
+    call_dense: jax.Array,  # int32 [B]
+    row_valid: jax.Array,  # bool [B]
+    p: int,
+):
+    t = reg.shape[0]
+    m = reg.shape[1]
+    taxa_flat = taxa_dense.reshape(-1)
+    enc_flat = enc.reshape(-1)
+    lanes = hll_lanes.reshape(-1)
+
+    safe_taxa = jnp.where(lanes, taxa_flat, 0)
+    kmer_counts = kmer_counts + jnp.bincount(
+        jnp.where(lanes, taxa_flat, t), length=t + 1
+    )[:t].astype(jnp.int64)
+    read_counts = read_counts + jnp.bincount(
+        jnp.where(row_valid, call_dense, t), length=t + 1
+    )[:t].astype(jnp.int64)
+
+    # dense register update: idx = top p bits of the encoding, rank decoded
+    # from it (see utils/bits.decode_rank; identical for dense inserts)
+    idx = (enc_flat >> jnp.uint32(32 - p)).astype(jnp.int32)
+    flagged = (enc_flat & jnp.uint32(1)) == 1
+    stored = ((enc_flat >> jnp.uint32(1)) & jnp.uint32(0x3F)).astype(jnp.uint8)
+    flag_rank = stored + jnp.uint8(25 - p)
+    shifted = enc_flat << jnp.uint32(p)
+    clz = jnp.minimum(
+        jnp.where(shifted == 0, jnp.uint32(32), jax.lax.clz(shifted).astype(jnp.uint32)),
+        jnp.uint32(32 - p),
+    )
+    plain_rank = (clz + jnp.uint32(1)).astype(jnp.uint8)
+    rank = jnp.where(flagged, flag_rank, plain_rank)
+
+    flat_slot = jnp.where(lanes, safe_taxa * m + idx, t * m)
+    reg_flat = jnp.concatenate([reg.reshape(-1), jnp.zeros(m, jnp.uint8)])
+    reg_flat = reg_flat.at[flat_slot].max(jnp.where(lanes, rank, jnp.uint8(0)))
+    return reg_flat[: t * m].reshape(t, m), kmer_counts, read_counts
+
+
+class DeviceCounters:
+    def __init__(self, n_taxa: int, p: int = 12, max_taxa: int = 1 << 17):
+        if n_taxa > max_taxa:
+            raise ValueError(
+                f"device counters support up to {max_taxa} taxa (got {n_taxa}); "
+                "use the exact-compat host accumulation for larger taxonomies"
+            )
+        self.p = p
+        self.m = 1 << p
+        self.n_taxa = n_taxa
+        self.reg = jnp.zeros((n_taxa, self.m), dtype=jnp.uint8)
+        self.kmer_counts = jnp.zeros(n_taxa, dtype=jnp.int64)
+        self.read_counts = jnp.zeros(n_taxa, dtype=jnp.int64)
+
+    def update(self, taxa_dense, enc, hll_lanes, call_dense, row_valid) -> None:
+        self.reg, self.kmer_counts, self.read_counts = _update(
+            self.reg,
+            self.kmer_counts,
+            self.read_counts,
+            taxa_dense,
+            enc,
+            hll_lanes,
+            call_dense,
+            row_valid,
+            self.p,
+        )
+
+    def finalize(self, taxid_of_dense: np.ndarray) -> dict[int, ReadCounts]:
+        """Fetch the device state and build the taxon_counts map."""
+        kmer_counts = np.asarray(self.kmer_counts)
+        read_counts = np.asarray(self.read_counts)
+        active = np.flatnonzero((kmer_counts > 0) | (read_counts > 0))
+        regs = np.asarray(self.reg[active]) if len(active) else np.zeros((0, self.m), np.uint8)
+        out: dict[int, ReadCounts] = {}
+        for row, dense in enumerate(active.tolist()):
+            h = HLL(self.p, sparse=False)
+            h.M = regs[row].copy()
+            h.n_observed = int(kmer_counts[dense])
+            rc = ReadCounts(h)
+            rc.n_kmers = int(kmer_counts[dense])
+            rc.n_reads = int(read_counts[dense])
+            out[int(taxid_of_dense[dense])] = rc
+        return out

@@ -153,6 +153,7 @@ def classify_step_core(
 
     out = {
         "taxa": taxon,
+        "taxa_dense": taxon_dense,
         "ambig": kmer_ambig,
         "processed": processed,
         "hll_lanes": hll_lanes,

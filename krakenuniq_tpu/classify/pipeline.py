@@ -76,6 +76,9 @@ class ClassifyOptions:
     report_zeros: bool = False
     print_progress: bool = True
     use_native: bool = True
+    # keep the entire taxon_counts state on device and fetch it once at the
+    # end (fast mode; see classify/device_counters.py for the trade-off)
+    device_counters: bool = False
     device_batch_reads: int = 16384  # units per device dispatch are grouped up to this
     max_runs: int = 32  # device-side RLE run slots per read (overflow -> host fallback)
 
@@ -151,6 +154,13 @@ class Classifier:
             hash_lbs=tuple(db.hash_lb for db in self.dbs) if use_hash else (),
         )
         self.counter = TaxonCounter(effective_p, exact=self.opts.exact)
+        self.dev_counters = None
+        if self.opts.device_counters:
+            if self.opts.exact or uid_database:
+                raise ValueError("--device-counters is incompatible with --exact/--uid-mapping")
+            from .device_counters import DeviceCounters
+
+            self.dev_counters = DeviceCounters(tax.size, effective_p)
         self.total_sequences = 0
         self.total_bases = 0
         self.total_classified = 0
@@ -316,29 +326,34 @@ class Classifier:
         n_kmers = packed[:, 2 * r + 2].astype(np.int32)
         n_runs = packed[:, 2 * r + 3]
 
-        if opts.exact:
-            taxa_full = np.asarray(out["taxa"])
-            hll_lanes = np.asarray(out["hll_lanes"])
-            canon = np.asarray(out["canon"])
-        else:
-            pairs = np.asarray(out["hll_pairs"])[:n_span]
-
         if self.uid_map is not None:
             taxa_full = np.asarray(out["taxa"])
             calls = self._resolve_uid_calls(taxa_full, n_kmers, calls, n_span)
 
-        # per-unit accumulation (preserves work-unit HLL semantics)
-        for s_, e_ in zip(unit_bounds[:-1], unit_bounds[1:]):
-            if opts.exact:
+        if self.dev_counters is not None:
+            row_valid = np.zeros(out["call_dense"].shape[0], dtype=bool)
+            row_valid[:n_span] = True
+            self.dev_counters.update(
+                out["taxa_dense"], out["enc"], out["hll_lanes"], out["call_dense"], row_valid
+            )
+        elif opts.exact:
+            taxa_full = np.asarray(out["taxa"])
+            hll_lanes = np.asarray(out["hll_lanes"])
+            canon = np.asarray(out["canon"])
+            for s_, e_ in zip(unit_bounds[:-1], unit_bounds[1:]):
                 row_ok = hll_lanes[s_:e_]
-                counted = canon[s_:e_][row_ok]
-                counted_taxa = taxa_full[s_:e_][row_ok]
-            else:
+                self.counter.process_unit(
+                    taxa_full[s_:e_][row_ok], canon[s_:e_][row_ok], calls[s_:e_]
+                )
+        else:
+            # per-unit accumulation (preserves work-unit HLL semantics)
+            pairs = np.asarray(out["hll_pairs"])[:n_span]
+            for s_, e_ in zip(unit_bounds[:-1], unit_bounds[1:]):
                 flat = pairs[s_:e_].reshape(-1)
                 flat = flat[flat != np.uint64(0xFFFFFFFFFFFFFFFF)]
                 counted_taxa = (flat >> np.uint64(32)).astype(np.uint32)
                 counted = (flat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-            self.counter.process_unit(counted_taxa, counted, calls[s_:e_])
+                self.counter.process_unit(counted_taxa, counted, calls[s_:e_])
 
         if kraken_fh is not None:
             # rows whose run count overflowed the device RLE buffer
@@ -432,6 +447,14 @@ class Classifier:
         return out
 
     def _accumulate(self, out, taxa, calls, n_unit):
+        if self.dev_counters is not None:
+            b = out["call_dense"].shape[0]
+            row_valid = np.zeros(b, dtype=bool)
+            row_valid[:n_unit] = True
+            self.dev_counters.update(
+                out["taxa_dense"], out["enc"], out["hll_lanes"], out["call_dense"], row_valid
+            )
+            return
         hll_lanes = np.asarray(out["hll_lanes"])
         mask_rows = np.zeros(hll_lanes.shape[0], dtype=bool)
         mask_rows[:n_unit] = True
@@ -531,9 +554,12 @@ class Classifier:
 
     def write_report(self, fh) -> None:
         self.ensure_counts_files()
+        counts = self.counter.counts
+        if self.dev_counters is not None:
+            counts = self.dev_counters.finalize(self.taxonomy.taxids)
         rep = TaxReport(
             self.taxonomy,
-            self.counter.counts,
+            counts,
             show_zeros=self.opts.report_zeros,
         )
         if self.opts.hll_precision > 0:

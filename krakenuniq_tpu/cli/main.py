@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--uid-mapping", action="store_true", help="use the UID database")
     p.add_argument("--only-classified-output", action="store_true")
     p.add_argument("--full-report", action="store_true", help="report with DB k-mer columns")
+    p.add_argument(
+        "--device-counters",
+        action="store_true",
+        help="keep taxon counters on the device (faster; unique-k-mer estimates "
+        "use dense HLL registers rather than the reference's sparse mode)",
+    )
     p.add_argument("--version", action="version", version=f"KrakenUniq-TPU version {__version__}")
     p.add_argument("files", nargs="*", help="FASTA/FASTQ input files (gz/bz2/xz ok)")
     return p
@@ -104,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
         only_classified_output=args.only_classified_output,
         print_sequence=args.print_sequence,
         full_report=args.full_report,
+        device_counters=args.device_counters,
     )
 
     inputs = list(args.files)

@@ -11,19 +11,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..db.hash_table import BUCKET_SLOTS, EMPTY_KEY
+from ..db.hash_table import BUCKET_SLOTS, EMPTY_KEY, GOLDEN
 
 
 def _probe(table: jax.Array, rows: jax.Array, q: jax.Array):
-    """Fetch one bucket row per query; returns (hit, packed_value, full)."""
+    """Fetch one bucket row per query; returns (hit, packed_value)."""
     row = jnp.take(table, rows, axis=0)  # [M, 16] uint64
     keys = row[:, :BUCKET_SLOTS]
     packed = row[:, BUCKET_SLOTS:]
     eq = keys == q[:, None]
     hit = jnp.any(eq, axis=1)
     value = jnp.sum(jnp.where(eq, packed, jnp.uint64(0)), axis=1)
-    full = jnp.all(keys != jnp.uint64(EMPTY_KEY), axis=1)
-    return hit, value, full
+    return hit, value
 
 
 @functools.partial(jax.jit, static_argnames=("lb",))
@@ -41,14 +40,14 @@ def hash_lookup_kmers(
     v = valid.reshape(-1)
     nb = table.shape[0]
 
-    rows = (h >> np.uint64(64 - lb)).astype(jnp.int32)
-    hit1, val1, full1 = _probe(table, rows, q)
-    rows2 = jnp.where(rows + 1 < nb, rows + 1, 0)
-    hit2, val2, _ = _probe(table, rows2, q)
+    shift = np.uint64(64 - lb)
+    rows1 = (h >> shift).astype(jnp.int32)
+    rows2 = ((h * GOLDEN) >> shift).astype(jnp.int32)
+    hit1, val1 = _probe(table, rows1, q)
+    hit2, val2 = _probe(table, rows2, q)
 
-    hit = hit1 | (full1 & hit2)
-    value = jnp.where(hit1, val1, jnp.where(full1 & hit2, val2, jnp.uint64(0)))
-    hit = hit & v
+    hit = (hit1 | hit2) & v
+    value = jnp.where(hit1, val1, val2)
     taxon = jnp.where(hit, value & jnp.uint64(0xFFFFFFFF), 0).astype(jnp.uint32)
     taxon_dense = jnp.where(hit, value >> jnp.uint64(32), 0).astype(jnp.int32)
     return taxon.reshape(shape), taxon_dense.reshape(shape)

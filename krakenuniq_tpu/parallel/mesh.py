@@ -73,6 +73,7 @@ def make_sharded_classify_fn(
 
     out_specs = {
         "taxa": P("data", None),
+        "taxa_dense": P("data", None),
         "ambig": P("data", None),
         "processed": P("data", None),
         "hll_lanes": P("data", None),
