@@ -12,15 +12,23 @@ lookup that touches one 128-byte bucket row per query is ~12x cheaper than a
 Every key has two candidate buckets derived from murmur3_finalizer(key)
 (the same bit mixer the HLL path computes anyway):
     b1 = h >> (64 - lb)        b2 = (h * GOLDEN) >> (64 - lb)
-Two-choice placement keeps the max bucket load near the average, so 8-slot
-buckets at ~0.5 load essentially never overflow; the build rebalances
-overfull buckets by flipping keys to their alternate bucket and grows the
-table in the (rare) case that fails. The device lookup always probes both
-buckets: two row fetches per query batch, independent of database size.
+Two-choice placement keeps the max bucket load near the average; the build
+rebalances overfull buckets by flipping keys to their alternate bucket and
+grows the table in the (rare) case that fails.
+
+The build itself runs ON DEVICE (sort + scan + scatter): constructing the
+table for millions of keys takes tens of milliseconds, where the same
+algorithm in host numpy takes minutes on a weak host. The device lookup
+always probes both candidate buckets: two row fetches per query batch,
+independent of database size.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..utils.bits import murmur3_finalizer
@@ -30,9 +38,68 @@ BUCKET_SLOTS = 8
 GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
-def bucket_ids(h: np.ndarray, lb: int):
+def bucket_ids(h, lb: int):
+    """Host/devices-agnostic candidate bucket ids."""
     shift = np.uint64(64 - lb)
     return (h >> shift).astype(np.int64), ((h * GOLDEN) >> shift).astype(np.int64)
+
+
+def _murmur_device(key: jax.Array) -> jax.Array:
+    key = key.astype(jnp.uint64) + jnp.uint64(1)
+    key ^= key >> jnp.uint64(33)
+    key *= jnp.uint64(0xFF51AFD7ED558CCD)
+    key ^= key >> jnp.uint64(33)
+    key *= jnp.uint64(0xC4CEB9FE1A85EC53)
+    key ^= key >> jnp.uint64(33)
+    return key
+
+
+@functools.partial(jax.jit, static_argnames=("lb", "iters"))
+def _build_attempt(keys: jax.Array, packed: jax.Array, lb: int, iters: int = 4):
+    """One placement attempt at a given table size; returns
+    (table, overflow_count)."""
+    n = keys.shape[0]
+    nb = 1 << lb
+    h = _murmur_device(keys)
+    shift = jnp.uint64(64 - lb)
+    b1 = (h >> shift).astype(jnp.int32)
+    b2 = ((h * GOLDEN) >> shift).astype(jnp.int32)
+    assign = b1
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def group_rank(sa):
+        # sa sorted ascending; rank within equal-value group via a cummax of
+        # group-start positions
+        is_start = jnp.concatenate([jnp.ones(1, bool), sa[1:] != sa[:-1]])
+        start_idx = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_start, iota, -1)
+        )
+        return iota - start_idx
+
+    order = rank = sa = None
+    for _ in range(iters):
+        order = jnp.argsort(assign, stable=True)
+        sa = jnp.take(assign, order)
+        rank = group_rank(sa)
+        over = rank >= BUCKET_SLOTS
+        alt = jnp.take(b1 + b2, order) - sa
+        new_sorted_assign = jnp.where(over, alt, sa)
+        assign = jnp.zeros_like(assign).at[order].set(new_sorted_assign)
+
+    order = jnp.argsort(assign, stable=True)
+    sa = jnp.take(assign, order)
+    rank = group_rank(sa)
+    overflow = jnp.sum((rank >= BUCKET_SLOTS).astype(jnp.int32))
+
+    rows = sa.astype(jnp.int64)
+    cols = jnp.minimum(rank, BUCKET_SLOTS - 1).astype(jnp.int64)
+    flat_key_idx = rows * (2 * BUCKET_SLOTS) + cols
+    table = jnp.full(nb * 2 * BUCKET_SLOTS, jnp.uint64(EMPTY_KEY))
+    table = table.at[rows * (2 * BUCKET_SLOTS) + BUCKET_SLOTS + cols].set(
+        jnp.take(packed, order)
+    )
+    table = table.at[flat_key_idx].set(jnp.take(keys, order))
+    return table.reshape(nb, 2 * BUCKET_SLOTS), overflow
 
 
 def build_hash_table(
@@ -40,42 +107,17 @@ def build_hash_table(
     vals: np.ndarray,
     vals_dense: np.ndarray,
     load_factor: float = 0.5,
-    max_iters: int = 16,
 ):
-    """Returns (table uint64 [n_buckets, 16], lb)."""
+    """Returns (table uint64 [n_buckets, 16] as a DEVICE array, lb)."""
     n = len(keys)
-    keys = np.asarray(keys, dtype=np.uint64)
-    h = murmur3_finalizer(keys)
+    dkeys = jax.device_put(np.ascontiguousarray(keys, dtype=np.uint64))
     packed = (np.asarray(vals_dense, dtype=np.uint64) << np.uint64(32)) | np.asarray(
         vals, dtype=np.uint64
     )
+    dpacked = jax.device_put(packed)
     lb = max(4, int(np.ceil(np.log2(max(n, 1) / (BUCKET_SLOTS * load_factor)))))
     while True:
-        b1, b2 = bucket_ids(h, lb)
-        nb = 1 << lb
-        assign = b1.copy()
-        ok = False
-        for _ in range(max_iters):
-            order = np.argsort(assign, kind="stable")
-            sa = assign[order]
-            counts = np.bincount(sa, minlength=nb)
-            start_of = np.concatenate([[0], np.cumsum(counts)])
-            rank = np.arange(n, dtype=np.int64) - start_of[sa]
-            over = rank >= BUCKET_SLOTS
-            if not over.any():
-                ok = True
-                break
-            flip = order[over]
-            assign[flip] = np.where(assign[flip] == b1[flip], b2[flip], b1[flip])
-        if ok:
-            break
+        table, overflow = _build_attempt(dkeys, dpacked, lb)
+        if int(overflow) == 0:
+            return table, lb
         lb += 1
-
-    table = np.empty((nb, 2 * BUCKET_SLOTS), dtype=np.uint64)
-    table[:, :BUCKET_SLOTS] = EMPTY_KEY
-    table[:, BUCKET_SLOTS:] = 0
-    rows = sa
-    cols = rank
-    table[rows, cols] = keys[order]
-    table[rows, BUCKET_SLOTS + cols] = packed[order]
-    return table, lb
