@@ -18,8 +18,23 @@ device arrays work (XLA emulates 64-bit integer ops on TPU with 32-bit
 pairs; hot Pallas kernels use explicit u32 hi/lo planes instead).
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: compiles of the (large) classify program are
+# expensive, especially through remote-compile transports; cache them across
+# processes
+_cache_dir = _os.environ.get(
+    "KRAKENUNIQ_TPU_CACHE", _os.path.expanduser("~/.cache/krakenuniq_tpu_xla")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # cache is an optimization only
+    pass
 
 __version__ = "0.1.0"

@@ -222,3 +222,39 @@ def read_uid_mapping_main(argv=None) -> int:
             taxids = " ".join(str(t) for t in m.taxid_set(uid).tolist())
             print(f"{uid}\t{taxids} ")
     return 0
+
+
+def upgrade_db_main(argv=None) -> int:
+    """Upgrade a pre-v0.10 database (v1 KRAKIDX plain minimizer order) to the
+    v2 XOR-scrambled order (scripts/upgrade_db.sh semantics: minimizer length
+    recovered from the index size, DB re-binned and re-sorted)."""
+    p = argparse.ArgumentParser(prog="krakenuniq-tpu-upgrade-db")
+    p.add_argument("db_dir")
+    a = p.parse_args(argv)
+    import os
+
+    import numpy as np
+
+    from ..formats import read_kdb, read_index, write_kdb, write_index
+    from ..utils.bits import bin_key
+
+    idx_path = os.path.join(a.db_dir, "database.idx")
+    kdb_path = os.path.join(a.db_dir, "database.kdb")
+    idx_type, nt, _ = read_index(idx_path)
+    if idx_type == 2:
+        print("Database index is already v2 (scrambled minimizer order).", file=sys.stderr)
+        return 0
+    hdr, keys, vals = read_kdb(kdb_path)
+    print(f"Re-sorting {hdr.key_ct} k-mers to scrambled minimizer order (nt={nt})",
+          file=sys.stderr)
+    b = bin_key(keys, hdr.k, nt)
+    order = np.lexsort((keys, b))
+    keys, vals, b = keys[order], vals[order], b[order]
+    counts = np.bincount(b.astype(np.int64), minlength=4**nt)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint64)
+    os.replace(kdb_path, kdb_path + ".v1")
+    os.replace(idx_path, idx_path + ".v1")
+    write_kdb(kdb_path, keys, vals, k=hdr.k)
+    write_index(idx_path, nt, offsets, idx_type=2)
+    print("Upgrade complete (originals kept as .v1).", file=sys.stderr)
+    return 0

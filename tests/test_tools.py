@@ -81,3 +81,36 @@ def test_read_uid_mapping():
         tools.read_uid_mapping_main, [os.path.join(DATA, "uid_to_taxid.map"), "3"]
     )
     assert rc == 0 and out.startswith("3\t")
+
+
+def test_upgrade_db(tmp_path, rng):
+    import shutil
+
+    from krakenuniq_tpu.formats import read_kdb, read_index, write_index
+    from krakenuniq_tpu.utils import bits
+
+    # build a v1-ordered (plain minimizer) database from the golden DB
+    _, keys, vals = __import__("krakenuniq_tpu.formats", fromlist=["read_kdb"]).read_kdb(
+        os.path.join(DATA, "database.kdb")
+    )
+    k, nt = 21, 7
+    plain = bits.bin_key(keys, k, nt, xor_mask=0)
+    order = np.argsort(plain, kind="stable")
+    from krakenuniq_tpu.formats import write_kdb
+
+    db = tmp_path
+    write_kdb(db / "database.kdb", keys[order], vals[order], k=k)
+    counts = np.bincount(plain[order].astype(np.int64), minlength=4**nt)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint64)
+    write_index(db / "database.idx", nt, offsets, idx_type=1)
+
+    rc, _ = run_main(tools.upgrade_db_main, [str(db)])
+    assert rc == 0
+    _, k2, v2 = read_kdb(db / "database.kdb")
+    _, ref_keys, ref_vals = read_kdb(os.path.join(DATA, "database.kdb"))
+    np.testing.assert_array_equal(k2, ref_keys)
+    np.testing.assert_array_equal(v2, ref_vals)
+    idx_type, _, off2 = read_index(db / "database.idx")
+    _, _, ref_off = read_index(os.path.join(DATA, "database.idx"))
+    assert idx_type == 2
+    np.testing.assert_array_equal(off2, ref_off)
