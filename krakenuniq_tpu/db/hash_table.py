@@ -55,7 +55,7 @@ def _murmur_device(key: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("lb", "iters"))
-def _build_attempt(keys: jax.Array, packed: jax.Array, lb: int, iters: int = 4):
+def _build_attempt(keys: jax.Array, packed: jax.Array, lb: int, iters: int = 2):
     """One placement attempt at a given table size; returns
     (table, overflow_count)."""
     n = keys.shape[0]
@@ -69,11 +69,11 @@ def _build_attempt(keys: jax.Array, packed: jax.Array, lb: int, iters: int = 4):
 
     def group_rank(sa):
         # sa sorted ascending; rank within equal-value group via a cummax of
-        # group-start positions
+        # group-start positions (lax.cummax is a single primitive -- an
+        # associative_scan here costs minutes of compile time on remote
+        # transports)
         is_start = jnp.concatenate([jnp.ones(1, bool), sa[1:] != sa[:-1]])
-        start_idx = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(is_start, iota, -1)
-        )
+        start_idx = jax.lax.cummax(jnp.where(is_start, iota, -1))
         return iota - start_idx
 
     order = rank = sa = None
@@ -106,7 +106,7 @@ def build_hash_table(
     keys: np.ndarray,
     vals: np.ndarray,
     vals_dense: np.ndarray,
-    load_factor: float = 0.5,
+    load_factor: float = 0.25,
 ):
     """Returns (table uint64 [n_buckets, 16] as a DEVICE array, lb)."""
     n = len(keys)
