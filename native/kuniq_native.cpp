@@ -48,6 +48,7 @@ void init_tables() {
 }
 
 inline int64_t line_end(const char* buf, int64_t pos, int64_t n) {
+  if (pos >= n) return n;
   const char* nl = (const char*)memchr(buf + pos, '\n', (size_t)(n - pos));
   return nl ? (int64_t)(nl - buf) : n;
 }
@@ -90,12 +91,13 @@ PyObject* parse_unit(PyObject*, PyObject* args) {
       r.id_off = r.hdr_off;
       r.id_len = idend - r.hdr_off;
       pos = he + 1;
+      if (pos > n) pos = n;
       int64_t se = line_end(buf, pos, n);
       r.seq_off = pos;
       r.seq_len = trim_cr(buf, pos, se) - pos;
-      pos = se + 1;
+      pos = se + 1 > n ? n : se + 1;
       int64_t pe = line_end(buf, pos, n);  // '+' line
-      pos = pe + 1;
+      pos = pe + 1 > n ? n : pe + 1;
       int64_t qe = line_end(buf, pos, n);
       r.qual_off = pos;
       r.qual_len = trim_cr(buf, pos, qe) - pos;
@@ -115,6 +117,7 @@ PyObject* parse_unit(PyObject*, PyObject* args) {
       r.id_off = r.hdr_off;
       r.id_len = idend - r.hdr_off;
       pos = he + 1;
+      if (pos > n) pos = n;
       r.seq_off = pos;
       int64_t first_end = trim_cr(buf, pos, line_end(buf, pos, n));
       int64_t nlines = 0;

@@ -71,3 +71,28 @@ def test_native_multiline_fasta_fallback(tmp_path):
     # and the single-line parse of the same reads agrees
     c = run(os.path.join(DATA, "reads.fa"), use_native=True)
     assert a == c
+
+
+def test_parser_truncated_inputs():
+    """Chunk boundaries can truncate records arbitrarily; the parser must
+    never read out of bounds (regression: segfault on header-without-newline)."""
+    nv = plmod._native
+    cases = [
+        (b">r1\nACGT", False),
+        (b">r1", False),
+        (b">", False),
+        (b">r1\nACGT\n>r2", False),
+        (b"@q\nACGT\n+\nIIII", True),
+        (b"@q\nACGT\n+", True),
+        (b"@q\nACGT", True),
+        (b"@q", True),
+        (b"", False),
+    ]
+    for buf, fq in cases:
+        n, offs, multi = nv.parse_unit(buf, fq)
+        # offsets must stay within the buffer
+        for i in range(n):
+            for off, ln in ((offs[i, 0], offs[i, 1]), (offs[i, 2], offs[i, 3]),
+                            (offs[i, 4], abs(offs[i, 5])), (offs[i, 6], offs[i, 7])):
+                assert 0 <= off <= len(buf)
+                assert 0 <= off + ln <= len(buf), (buf, i)
