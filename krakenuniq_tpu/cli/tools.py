@@ -258,3 +258,19 @@ def upgrade_db_main(argv=None) -> int:
     write_index(idx_path, nt, offsets, idx_type=2)
     print("Upgrade complete (originals kept as .v1).", file=sys.stderr)
     return 0
+
+
+def grade_main(argv=None) -> int:
+    """Grade classifications of simulated reads (grade_classification.cpp):
+    usage: grade <taxDB> <seqid2taxid.map> <kraken output> <per-read out>."""
+    p = argparse.ArgumentParser(prog="krakenuniq-tpu-grade")
+    p.add_argument("taxdb")
+    p.add_argument("seqid_map")
+    p.add_argument("kraken")
+    p.add_argument("per_read_out")
+    a = p.parse_args(argv)
+    from ..report.grade import grade
+
+    with open(a.per_read_out, "w") as fh:
+        grade(a.taxdb, a.seqid_map, a.kraken, fh)
+    return 0
