@@ -84,7 +84,21 @@ class ClassifyOptions:
 
 
 def _bucket(n: int, lo: int) -> int:
+    """Round a batch dimension up to a padding bucket (powers of two)."""
     b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _bucket_len(n: int, lo: int) -> int:
+    """Read-length padding bucket: multiples of 32 up to 512 (the W^2 tree
+    resolution makes width padding quadratic), then powers of two."""
+    if n <= lo:
+        return lo
+    if n <= 512:
+        return (n + 31) // 32 * 32
+    b = 512
     while b < n:
         b *= 2
     return b
@@ -252,7 +266,13 @@ class Classifier:
         pending = None  # records carried to honor unit semantics across chunks
         for buf, offs, multi, fastq in self._native_chunks(path):
             if multi:
-                # rare: multi-line FASTA records in this chunk -> Python records
+                # rare: multi-line FASTA records in this chunk -> Python records;
+                # flush any in-flight span first to keep output ordered
+                if pending is not None:
+                    self._finish_native_span(
+                        pending, kraken_fh, classified_fh, unclassified_fh
+                    )
+                    pending = None
                 from io import StringIO
 
                 text = buf.decode("ascii", "replace")
@@ -292,33 +312,52 @@ class Classifier:
                     j += 1
                 span = offs[bounds[i] : bounds[j]]
                 unit_bounds = [b - bounds[i] for b in bounds[i : j + 1]]
-                self._process_native_span(
-                    buf, span, unit_bounds, fastq, kraken_fh, classified_fh, unclassified_fh
-                )
+                st = self._start_native_span(buf, span, unit_bounds, fastq)
+                if pending is not None:
+                    # overlap: the device crunches this span while the host
+                    # formats the previous one
+                    self._finish_native_span(
+                        pending, kraken_fh, classified_fh, unclassified_fh
+                    )
+                pending = st
                 i = j
             self._progress()
+        if pending is not None:
+            self._finish_native_span(pending, kraken_fh, classified_fh, unclassified_fh)
+            self._progress()
 
-    def _process_native_span(
-        self, buf, offs, unit_bounds, fastq, kraken_fh, classified_fh, unclassified_fh
-    ):
-        """Run several work units in one device dispatch; fetch the packed RLE
-        matrix + the hll-pair plane (two transfers total), then accumulate
-        per unit."""
+    def _start_native_span(self, buf, offs, unit_bounds, fastq):
+        """Encode and dispatch one device batch spanning several work units;
+        device-side accumulation is also enqueued here. Returns the state for
+        _finish_native_span."""
         opts = self.opts
         n_span = len(offs)
         if n_span == 0:
-            return
+            return None
         seq_lens = np.ascontiguousarray(offs[:, 5].astype(np.int32))
         max_len = int(seq_lens.max())
         if max_len > opts.max_read_len:
             raise NotImplementedError(
                 f"reads longer than {opts.max_read_len} bp are not supported yet"
             )
-        lb = _bucket(max(max_len, self.k), max(128, self.k))
+        lb = _bucket_len(max(max_len, self.k), max(128, self.k))
         b = _bucket(n_span, opts.min_batch_reads)
         offs_c = np.ascontiguousarray(offs)
         codes, ambig_arr, lengths = _native.encode_unit(buf, offs_c, lb, b)
         out = self._device_step(codes, ambig_arr, lengths)
+        if self.dev_counters is not None:
+            row_valid = np.zeros(out["call_dense"].shape[0], dtype=bool)
+            row_valid[:n_span] = True
+            self.dev_counters.update(
+                out["taxa_dense"], out["enc"], out["hll_lanes"], out["call_dense"], row_valid
+            )
+        return (buf, offs_c, unit_bounds, fastq, out, seq_lens, n_span)
+
+    def _finish_native_span(self, st, kraken_fh, classified_fh, unclassified_fh):
+        if st is None:
+            return
+        buf, offs_c, unit_bounds, fastq, out, seq_lens, n_span = st
+        opts = self.opts
 
         r = self._cfg.max_runs
         packed = np.asarray(out["packed"])[:n_span]
@@ -331,11 +370,7 @@ class Classifier:
             calls = self._resolve_uid_calls(taxa_full, n_kmers, calls, n_span)
 
         if self.dev_counters is not None:
-            row_valid = np.zeros(out["call_dense"].shape[0], dtype=bool)
-            row_valid[:n_span] = True
-            self.dev_counters.update(
-                out["taxa_dense"], out["enc"], out["hll_lanes"], out["call_dense"], row_valid
-            )
+            pass  # accumulated on device at dispatch time
         elif opts.exact:
             taxa_full = np.asarray(out["taxa"])
             hll_lanes = np.asarray(out["hll_lanes"])
@@ -475,7 +510,7 @@ class Classifier:
                 f"reads longer than {opts.max_read_len} bp are not supported yet "
                 f"(got {max_len})"
             )
-        lb = _bucket(max(max_len, self.k), max(128, self.k))
+        lb = _bucket_len(max(max_len, self.k), max(128, self.k))
         b = _bucket(len(unit), opts.min_batch_reads)
         enc = encode_batch([d.seq for d in unit], lb=lb, batch=b)
 
