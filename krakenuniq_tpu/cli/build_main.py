@@ -77,9 +77,6 @@ def main(argv=None) -> int:
         print("Cleaned intermediate files.", file=sys.stderr)
         return 0
 
-    if args.lca_order:
-        print("--lca-order is not implemented yet", file=sys.stderr)
-        return 2
 
     if args.rebuild:
         for name in ("database.kdb", "database.idx", "database.kdb.counts", "taxDB"):
@@ -186,6 +183,17 @@ def main(argv=None) -> int:
         if args.max_db_size:
             pair_size = (2 * args.kmer_len) // 8 + (1 if (2 * args.kmer_len) % 8 else 0) + 4
             max_kmers = int(args.max_db_size * (1 << 30) / pair_size)
+        lca_groups = None
+        if args.lca_order:
+            lca_groups = []
+            for part in args.lca_order:
+                for name in part.split(";"):
+                    group = [f for f in fastas if f"/{name}/" in f or f.endswith(f"/{name}")
+                             or os.path.basename(os.path.dirname(f)) == name]
+                    if not group:
+                        print(f"--lca-order: no library files match {name}", file=sys.stderr)
+                        return 1
+                    lca_groups.append(group)
         res = build_database(
             fastas,
             seqmap,
@@ -195,6 +203,7 @@ def main(argv=None) -> int:
             db_dir=None,
             min_sequence_size=args.min_contig_size,
             max_kmers=max_kmers,
+            lca_order=lca_groups,
         )
         write_kdb(kdb_path, res.keys, res.vals, k=args.kmer_len)
         write_index(idx_path, args.minimizer_len, res.offsets)

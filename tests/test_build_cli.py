@@ -93,3 +93,60 @@ def test_shrink_existing(tmp_path):
     hdr, keys, _ = read_kdb(str(db) + "_shrunk/database.kdb")
     assert hdr.key_ct == 500
     assert np.all(np.diff(np.asarray(keys, dtype=np.int64)) != 0)
+
+
+def test_contaminant_taxid_build():
+    """set_lcas -T semantics: contaminant-taxid sequences claim their k-mers
+    directly (golden built with the reference binary)."""
+    from krakenuniq_tpu.build import build_database
+    from krakenuniq_tpu.formats import read_kdb
+    from krakenuniq_tpu.formats.seqmap import read_seqid2taxid
+    from krakenuniq_tpu.taxonomy import Taxonomy
+
+    d = os.path.join(DATA, "db_contam")
+    tax = Taxonomy.from_taxdb_file(os.path.join(d, "taxDB"))
+    res = build_database(
+        [os.path.join(d, "library.fna")],
+        read_seqid2taxid(os.path.join(d, "seqid2taxid.map")),
+        tax,
+        k=21,
+        nt=7,
+    )
+    _, ref_keys, ref_vals = read_kdb(os.path.join(d, "database.kdb"))
+    np.testing.assert_array_equal(res.keys, ref_keys)
+    np.testing.assert_array_equal(res.vals, ref_vals)
+    assert (res.vals == 32630).sum() > 100  # the shared block is claimed
+
+
+def test_lca_order_build(tmp_path):
+    """KRAKEN_LCA_ORDER: later priority groups override earlier values for
+    their own k-mers."""
+    from krakenuniq_tpu.build import build_database
+    from krakenuniq_tpu.formats.seqmap import read_seqid2taxid
+    from krakenuniq_tpu.taxonomy import Taxonomy
+
+    tax = Taxonomy.from_taxdb_file(os.path.join(DATA, "taxDB"))
+    seqmap = read_seqid2taxid(os.path.join(DATA, "seqid2taxid.map"))
+    lib = os.path.join(DATA, "library.fna")
+    # split the library: viral sequence as its own priority group
+    from krakenuniq_tpu.formats.seqio import read_sequences
+
+    viral = tmp_path / "viral.fna"
+    with open(viral, "w") as f:
+        for dna in read_sequences(lib):
+            if dna.id == "seq_311":
+                f.write(f">{dna.id}\n{dna.seq}\n")
+
+    base = build_database([lib], seqmap, tax, k=21, nt=7)
+    prio = build_database([lib], seqmap, tax, k=21, nt=7, lca_order=[[str(viral)]])
+    # k-mers exclusive to the viral genome keep their values; all values for
+    # viral k-mers must equal the group-local assignment (311)
+    np.testing.assert_array_equal(base.keys, prio.keys)
+    viral_only = build_database([str(viral)], seqmap, tax, k=21, nt=7)
+    import numpy as _np
+
+    pos = _np.searchsorted(_np.sort(prio.keys), _np.sort(viral_only.keys))
+    order = _np.argsort(prio.keys, kind="stable")
+    sorted_vals = prio.vals[order]
+    assert (_np.sort(viral_only.keys) == _np.sort(prio.keys)[pos]).all()
+    assert (sorted_vals[pos] == 311).all()
