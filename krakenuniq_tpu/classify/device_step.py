@@ -68,6 +68,10 @@ class StepConfig:
     # (keys, vals, vals_dense, offsets, bin_start))
     lookup_mode: str = "bsearch"
     hash_lbs: tuple = ()  # per-database bucket bits (static)
+    # False: skip the on-device tree resolution (used by the long-read path,
+    # whose O(W^2) resolve would be quadratic in read length; the host
+    # resolves from the returned per-k-mer taxa instead)
+    resolve: bool = True
 
 
 def classify_step_core(
@@ -137,13 +141,18 @@ def classify_step_core(
         call = jnp.where(total_hits >= cfg.min_hits, call_taxon, jnp.uint32(0))
         call_dense_taxon = jnp.take_along_axis(taxon_dense, call_pos[:, None], axis=1)[:, 0]
         call_dense = jnp.where(total_hits >= cfg.min_hits, call_dense_taxon, 0)
-    else:
+    elif cfg.resolve:
         processed = valid
         total_hits = jnp.sum(hit.astype(jnp.int32), axis=1)
         call_dense = resolve_reads(
             taxon_dense, hit & processed, tin, tout, parent, root_dense, cfg.max_depth
         )
         call = jnp.take(taxid_table, call_dense)
+    else:
+        processed = valid
+        total_hits = jnp.sum(hit.astype(jnp.int32), axis=1)
+        call_dense = jnp.zeros(b, dtype=jnp.int32)
+        call = jnp.zeros(b, dtype=jnp.uint32)
 
     # HLL: every processed non-ambiguous k-mer is counted, including misses
     # under taxon 0 (classify.cpp:939); the same murmur output drives the

@@ -70,7 +70,9 @@ class ClassifyOptions:
     only_classified_output: bool = False
     print_sequence: bool = False
     work_unit_size: int = DEF_WORK_UNIT_SIZE
-    max_read_len: int = 1 << 15  # pad bucket cap; longer reads are rejected for now
+    # device batch width cap; longer reads are chunked with k-1 overlap and
+    # resolved on host (incompatible with --device-counters/--exact for now)
+    max_read_len: int = 1 << 15
     min_batch_reads: int = 64  # round B up to a multiple of this
     full_report: bool = False
     report_zeros: bool = False
@@ -265,8 +267,9 @@ class Classifier:
     def _run_native(self, path, kraken_fh, classified_fh, unclassified_fh) -> None:
         pending = None  # records carried to honor unit semantics across chunks
         for buf, offs, multi, fastq in self._native_chunks(path):
-            if multi:
-                # rare: multi-line FASTA records in this chunk -> Python records;
+            overlong = bool((np.abs(offs[:, 5]) > self.opts.max_read_len).any())
+            if multi or overlong:
+                # rare: multi-line FASTA or overlong reads -> Python records;
                 # flush any in-flight span first to keep output ordered
                 if pending is not None:
                     self._finish_native_span(
@@ -498,30 +501,151 @@ class Classifier:
         counted_taxa = taxa[row_ok]
         self.counter.process_unit(counted_taxa, counted, calls)
 
+
+    # ---------------------------------------------------------- long reads
+
+    def _classify_long_read(self, seq: str):
+        """Classify one read longer than max_read_len: chunk with k-1 overlap,
+        run the device step in lookup-only mode, resolve on host.
+
+        Returns (taxa u32[W], ambig bool[W], enc u32[W], call int, hits int,
+        processed bool[W])."""
+        import dataclasses as _dc
+
+        from ..kmer import encode_batch
+
+        k = self.k
+        opts = self.opts
+        payload = opts.max_read_len - (k - 1)
+        starts = list(range(0, max(1, len(seq) - k + 1), payload))
+        chunks = [seq[st : st + opts.max_read_len] for st in starts]
+        lb = _bucket_len(max(len(c) for c in chunks), max(128, k))
+        b = _bucket(len(chunks), 8)
+        enc_b = encode_batch(chunks, lb=lb, batch=b)
+        cfg2 = _dc.replace(self._cfg, resolve=False, max_runs=0, quick=False)
+        out = classify_step(
+            self._db_planes,
+            self._taxid_table,
+            self._tin,
+            self._tout,
+            self._parent,
+            self._root_dense,
+            enc_b.codes,
+            enc_b.ambig,
+            enc_b.lengths,
+            cfg2,
+        )
+        taxa_rows = np.asarray(out["taxa"])
+        ambig_rows = np.asarray(out["ambig"])
+        enc_rows = np.asarray(out["enc"])
+        parts_t, parts_a, parts_e = [], [], []
+        for i, c in enumerate(chunks):
+            w = len(c) - k + 1
+            parts_t.append(taxa_rows[i, :w])
+            parts_a.append(ambig_rows[i, :w])
+            parts_e.append(enc_rows[i, :w])
+        taxa = np.concatenate(parts_t)
+        ambig = np.concatenate(parts_a)
+        enc = np.concatenate(parts_e)
+
+        hit = taxa != 0
+        if opts.quick:
+            cum = np.cumsum(hit)
+            reach = np.flatnonzero(cum >= opts.min_hits)
+            if len(reach):
+                stop = int(reach[0])
+                processed = np.zeros(len(taxa), bool)
+                processed[: stop + 1] = True
+                hits = opts.min_hits
+                call = int(taxa[stop])
+            else:
+                processed = np.ones(len(taxa), bool)
+                hits = int(cum[-1]) if len(cum) else 0
+                call = 0
+        else:
+            processed = np.ones(len(taxa), bool)
+            hits = int(hit.sum())
+            counts: dict[int, int] = {}
+            for t in taxa[hit].tolist():
+                counts[t] = counts.get(t, 0) + 1
+            if self.uid_map is not None:
+                from .uid import resolve_uids
+
+                call = int(resolve_uids(counts, self.uid_map, self.taxonomy.lca_fold))
+            else:
+                call = int(self.taxonomy.resolve_tree_host(counts))
+        return taxa, ambig, enc, call, hits, processed
+
     # ------------------------------------------------------------ python path
 
     def _process_unit(self, unit, fastq, kraken_fh, classified_fh, unclassified_fh) -> None:
         from ..kmer import encode_batch
 
         opts = self.opts
-        max_len = max((len(d.seq) for d in unit), default=1)
-        if max_len > opts.max_read_len:
-            raise NotImplementedError(
-                f"reads longer than {opts.max_read_len} bp are not supported yet "
-                f"(got {max_len})"
-            )
+        long_idx = {i for i, d in enumerate(unit) if len(d.seq) > opts.max_read_len}
+        short_seqs = ["" if i in long_idx else d.seq for i, d in enumerate(unit)]
+        max_len = max((len(s) for s in short_seqs), default=1)
         lb = _bucket_len(max(max_len, self.k), max(128, self.k))
         b = _bucket(len(unit), opts.min_batch_reads)
-        enc = encode_batch([d.seq for d in unit], lb=lb, batch=b)
+        enc = encode_batch(short_seqs, lb=lb, batch=b)
 
         out = self._device_step(enc.codes, enc.ambig, enc.lengths)
         taxa = np.asarray(out["taxa"])
         ambig = np.asarray(out["ambig"])
-        calls = np.asarray(out["call"])[: len(unit)]
-        hits = np.asarray(out["hits"])
-        n_kmers = np.asarray(out["n_kmers"])
-        calls = self._resolve_uid_calls(taxa, n_kmers, calls, len(unit))
-        self._accumulate(out, taxa, calls, len(unit))
+        enc_arr = np.asarray(out["enc"])
+        hll_lanes = np.asarray(out["hll_lanes"])
+        calls = np.asarray(out["call"]).astype(np.uint32)[: len(unit)].copy()
+        hits = np.asarray(out["hits"]).astype(np.int64)[: len(unit)].copy()
+        n_kmers = np.asarray(out["n_kmers"]).astype(np.int64)[: len(unit)].copy()
+        if self.uid_map is not None:
+            calls = self._resolve_uid_calls(taxa, n_kmers, calls, len(unit))
+
+        long_results = {}
+        for i in sorted(long_idx):
+            long_results[i] = self._classify_long_read(unit[i].seq)
+            calls[i] = long_results[i][3]
+            hits[i] = long_results[i][4]
+            n_kmers[i] = len(long_results[i][0])
+
+        # per-taxon accumulation in read order (work-unit HLL semantics)
+        if self.dev_counters is not None and not long_idx:
+            row_valid = np.zeros(out["call_dense"].shape[0], dtype=bool)
+            row_valid[: len(unit)] = True
+            self.dev_counters.update(
+                out["taxa_dense"], out["enc"], out["hll_lanes"], out["call_dense"], row_valid
+            )
+        else:
+            taxa_parts, enc_parts = [], []
+            for i in range(len(unit)):
+                if i in long_results:
+                    t_l, a_l, e_l, _, _, proc = long_results[i]
+                    lanes = proc & ~a_l
+                    taxa_parts.append(t_l[lanes])
+                    enc_parts.append(e_l[lanes])
+                else:
+                    lanes = hll_lanes[i]
+                    taxa_parts.append(taxa[i][lanes])
+                    enc_parts.append(enc_arr[i][lanes])
+            if opts.exact:
+                canon = np.asarray(out["canon"])
+                enc_parts = []
+                for i in range(len(unit)):
+                    if i in long_results:
+                        raise NotImplementedError(
+                            "--exact with reads longer than max_read_len"
+                        )
+                    enc_parts.append(canon[i][hll_lanes[i]])
+            if self.dev_counters is not None:
+                # mixed long/short unit with device counters: route through
+                # the host accumulator for exactness of this unit
+                raise NotImplementedError(
+                    "--device-counters with reads longer than max_read_len"
+                )
+            self.counter.process_unit(
+                np.concatenate(taxa_parts) if taxa_parts else np.empty(0, np.uint32),
+                np.concatenate(enc_parts) if enc_parts else np.empty(0, np.uint32),
+                calls,
+            )
 
         for i, dna in enumerate(unit):
             call = int(calls[i])
@@ -533,14 +657,20 @@ class Classifier:
             if kraken_fh is not None:
                 if not call and opts.only_classified_output:
                     continue
-                nk = int(n_kmers[i])
+                if i in long_results:
+                    t_l, a_l = long_results[i][0], long_results[i][1]
+                    row_t, row_a = t_l, a_l
+                    nk = len(t_l)
+                else:
+                    nk = int(n_kmers[i])
+                    row_t, row_a = taxa[i, :nk], ambig[i, :nk]
                 kraken_fh.write(
                     kraken_line(
                         dna.id,
                         call,
                         len(dna.seq),
-                        taxa[i, :nk],
-                        ambig[i, :nk],
+                        row_t,
+                        row_a,
                         quick=opts.quick,
                         hits=int(hits[i]),
                         sequence=dna.seq if opts.print_sequence else None,

@@ -374,3 +374,26 @@ class Taxonomy:
                 break
             i = p
         return "".join(parts).replace(" ", "_")
+
+    def resolve_tree_host(self, hit_counts: dict) -> int:
+        """Host-side resolve_tree (krakenutil.cpp:149-200 semantics), used for
+        reads too long for the on-device O(W^2) formulation."""
+        if not hit_counts:
+            return 0
+        taxa = np.asarray(list(hit_counts.keys()), dtype=np.uint32)
+        counts = np.asarray(list(hit_counts.values()), dtype=np.int64)
+        dense = self.dense_index(taxa)
+        found = self.taxids[dense] == taxa
+        tins = self.tin[dense].astype(np.int64)
+        touts = self.tout[dense].astype(np.int64)
+        # unknown taxa get disjoint self-only intervals
+        fake = -2 * np.arange(1, len(taxa) + 1, dtype=np.int64)
+        tins = np.where(found, tins, fake)
+        touts = np.where(found, touts, fake + 1)
+        anc = (tins[:, None] <= tins[None, :]) & (tins[None, :] < touts[:, None])
+        scores = (counts[:, None] * anc).sum(axis=0)
+        mx = scores.max()
+        tied = taxa[scores == mx]
+        if len(tied) == 1:
+            return int(tied[0])
+        return self.lca_fold(tied.tolist())
