@@ -3,29 +3,23 @@
 Used by __graft_entry__ and bench.py to exercise the full classify step at
 arbitrary scale: synthetic genomes under a small taxonomy, the same
 canonical-k-mer/minimizer layout as a real database.
+
+The heavy steps (k-mer extraction, dedup, scrambled-minimizer binning,
+sorting) run on the device -- on weak hosts the numpy equivalent takes
+minutes for multi-million-k-mer databases.
 """
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from ..kmer import ops as kops
 from ..taxonomy import Taxonomy
-from ..utils import bits
+from ..utils.bits import INDEX2_XOR_MASK
 
-_CODE = np.full(256, 255, np.uint8)
-for _c, _v in zip(b"ACGT", range(4)):
-    _CODE[_c] = _v
-_BASES = np.array(list("ACGT"))
-
-
-def _canonical_kmers(seq: str, k: int) -> np.ndarray:
-    arr = _CODE[np.frombuffer(seq.encode(), np.uint8)]
-    if len(arr) < k:
-        return np.empty(0, dtype=np.uint64)
-    km = np.zeros(len(arr) - k + 1, dtype=np.uint64)
-    for t in range(k):
-        km |= arr[t : t + len(km)].astype(np.uint64) << np.uint64(2 * (k - 1 - t))
-    return bits.canonical_representation(km, k)
+_BASES_B = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 def make_demo_taxonomy(n_species: int) -> tuple[Taxonomy, list[int]]:
@@ -52,6 +46,19 @@ def make_demo_taxonomy(n_species: int) -> tuple[Taxonomy, list[int]]:
     return tax, species
 
 
+def _minimizers_from_kmers(kmers: jax.Array, k: int, nt: int) -> jax.Array:
+    """bin_key over packed k-mers (krakendb.cpp:182-196), device version."""
+    mask = np.uint64((1 << (2 * nt)) - 1)
+    xm = np.uint64(INDEX2_XOR_MASK) & mask
+    best = jnp.full(kmers.shape, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    x = kmers
+    for _ in range(k - nt + 1):
+        cand = xm ^ kops.canonical_representation(x & mask, nt)
+        best = jnp.minimum(best, cand)
+        x = x >> np.uint64(2)
+    return best
+
+
 def make_demo_db(
     n_species: int = 8,
     genome_len: int = 4000,
@@ -59,28 +66,46 @@ def make_demo_db(
     nt: int = 9,
     seed: int = 7,
 ):
-    """Returns (keys, vals, offsets, taxonomy, genomes_by_taxid)."""
-    rng = np.random.default_rng(seed)
+    """Returns (keys, vals, offsets, taxonomy, genomes_by_taxid) with keys
+    sorted in reference (minimizer-bin, key) order."""
     tax, species = make_demo_taxonomy(n_species)
+    key = jax.random.PRNGKey(seed)
+    codes = jax.random.randint(key, (n_species, genome_len), 0, 4, dtype=jnp.uint8)
+
+    @jax.jit
+    def extract(codes):
+        kmers = kops.canonical_representation(kops.pack_windows(codes, k), k)
+        flat = kmers.reshape(-1)
+        sp = jnp.broadcast_to(
+            jnp.arange(n_species, dtype=jnp.uint32)[:, None], kmers.shape
+        ).reshape(-1)
+        skeys, svals = jax.lax.sort((flat, sp), num_keys=1)
+        first = jnp.concatenate([jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
+        bins = _minimizers_from_kmers(skeys, k, nt)
+        return skeys, svals, first, bins
+
+    skeys, svals, first, bins = extract(codes)
+    host_first = np.asarray(first)
+    keys = np.asarray(skeys)[host_first]
+    sp = np.asarray(svals)[host_first]
+    b = np.asarray(bins)[host_first]
+
+    @jax.jit
+    def sort_by_bin(keys, b, sp):
+        sb, sk, ssp = jax.lax.sort((b, keys, sp), num_keys=2)
+        counts = jnp.bincount(sb.astype(jnp.int32), length=4**nt)
+        return sk, ssp, counts
+
+    sk, ssp, counts = sort_by_bin(keys, b, sp)
+    keys = np.asarray(sk)
+    sp = np.asarray(ssp)
+    offsets = np.concatenate([[0], np.cumsum(np.asarray(counts))]).astype(np.int64)
+    vals = np.asarray(species, dtype=np.uint32)[sp]
+
     genomes = {}
-    kmer_chunks, taxon_chunks = [], []
-    for sid in species:
-        g = "".join(_BASES[rng.integers(0, 4, size=genome_len)])
-        genomes[sid] = g
-        km = np.unique(_canonical_kmers(g, k))
-        kmer_chunks.append(km)
-        taxon_chunks.append(np.full(len(km), sid, dtype=np.uint32))
-    kmers = np.concatenate(kmer_chunks)
-    taxa = np.concatenate(taxon_chunks)
-    # keep first occurrence per k-mer (collisions across genomes are ~0 for
-    # random sequence at k=31; LCA semantics are exercised by the golden tests)
-    kmers, idx = np.unique(kmers, return_index=True)
-    taxa = taxa[idx]
-    b = bits.bin_key(kmers, k, nt)
-    order = np.lexsort((kmers, b))
-    keys, vals, b = kmers[order], taxa[order], b[order]
-    counts = np.bincount(b.astype(np.int64), minlength=4**nt)
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    host_codes = np.asarray(codes)
+    for i, sid in enumerate(species):
+        genomes[sid] = _BASES_B[host_codes[i]].tobytes().decode()
     return keys, vals, offsets, tax, genomes
 
 
@@ -89,9 +114,10 @@ def make_demo_reads(
 ) -> list[str]:
     rng = np.random.default_rng(seed)
     sids = list(genomes)
+    picks = rng.integers(0, len(sids), size=n_reads)
     out = []
     for i in range(n_reads):
-        g = genomes[sids[int(rng.integers(len(sids)))]]
+        g = genomes[sids[int(picks[i])]]
         start = int(rng.integers(0, max(1, len(g) - read_len)))
         out.append(g[start : start + read_len])
     return out
