@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..classify.device_step import StepConfig, classify_step_core
-from .partition import ShardedDBPlanes
+from .partition import ShardedDBPlanes, ShardedHashPlanes
 
 
 def make_mesh(n_data: int, n_db: int, devices=None) -> Mesh:
@@ -47,29 +47,52 @@ def make_sharded_classify_fn(
     classify step over the mesh with the DB minimizer-sharded along "db"."""
     n_db = mesh.shape["db"]
     assert planes.n_shards == n_db, (planes.n_shards, n_db)
-    cfg = StepConfig(**{**cfg.__dict__, "db_axis": "db"})
+    hash_mode = isinstance(planes, ShardedHashPlanes)
+    cfg = StepConfig(
+        **{
+            **cfg.__dict__,
+            "db_axis": "db",
+            "lookup_mode": "hash" if hash_mode else "bsearch",
+            "hash_lbs": (planes.lb,) if hash_mode else (),
+            "max_runs": 0,  # packed outputs are a single-chip host-transfer aid
+        }
+    )
 
     db_sharding = NamedSharding(mesh, P("db", None))
+    db_sharding3 = NamedSharding(mesh, P("db", None, None))
     scalar_sharding = NamedSharding(mesh, P("db"))
     repl = NamedSharding(mesh, P())
 
-    dev_planes = (
-        jax.device_put(planes.keys, db_sharding),
-        jax.device_put(planes.vals, db_sharding),
-        jax.device_put(planes.vals_dense, db_sharding),
-        jax.device_put(planes.offsets, db_sharding),
-        jax.device_put(planes.bin_start, scalar_sharding),
-    )
+    if hash_mode:
+        dev_planes = (jax.device_put(planes.tables, db_sharding3),)
+    else:
+        dev_planes = (
+            jax.device_put(planes.keys, db_sharding),
+            jax.device_put(planes.vals, db_sharding),
+            jax.device_put(planes.vals_dense, db_sharding),
+            jax.device_put(planes.offsets, db_sharding),
+            jax.device_put(planes.bin_start, scalar_sharding),
+        )
     tax_args = tuple(
         jax.device_put(np.asarray(x), repl) for x in (taxid_table, tin, tout, parent)
     )
     root_dense = jax.device_put(np.int32(root_dense), repl)
 
-    def core(keys, vals, vals_dense, offsets, bin_start, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
-        db_planes = ((keys[0], vals[0], vals_dense[0], offsets[0], bin_start[0]),)
-        return classify_step_core(
-            db_planes, taxid_table, tin, tout, parent, root, codes, ambig, lengths, cfg
-        )
+    if hash_mode:
+
+        def core(tables, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
+            db_planes = ((tables[0],),)
+            return classify_step_core(
+                db_planes, taxid_table, tin, tout, parent, root, codes, ambig, lengths, cfg
+            )
+
+    else:
+
+        def core(keys, vals, vals_dense, offsets, bin_start, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
+            db_planes = ((keys[0], vals[0], vals_dense[0], offsets[0], bin_start[0]),)
+            return classify_step_core(
+                db_planes, taxid_table, tin, tout, parent, root, codes, ambig, lengths, cfg
+            )
 
     out_specs = {
         "taxa": P("data", None),
@@ -86,15 +109,21 @@ def make_sharded_classify_fn(
     if cfg.with_kmers:
         out_specs["canon"] = P("data", None)
 
-    shard_fn = jax.shard_map(
-        core,
-        mesh=mesh,
-        in_specs=(
+    if hash_mode:
+        plane_specs = (P("db", None, None),)
+    else:
+        plane_specs = (
             P("db", None),  # keys
             P("db", None),  # vals
             P("db", None),  # vals_dense
             P("db", None),  # offsets
             P("db"),  # bin_start
+        )
+    shard_fn = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=plane_specs
+        + (
             P(),  # taxid_table
             P(),  # tin
             P(),  # tout

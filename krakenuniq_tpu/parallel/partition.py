@@ -83,3 +83,58 @@ def shard_db_planes(
     return ShardedDBPlanes(
         keys=s_keys, vals=s_vals, vals_dense=s_vd, offsets=s_off, bin_start=s_start, max_bin=max_bin
     )
+
+
+@dataclasses.dataclass
+class ShardedHashPlanes:
+    """Stacked per-shard two-choice hash tables (db/hash_table.py layout)."""
+
+    tables: object  # uint64 [S, n_buckets, 16] (device array)
+    lb: int
+    bounds: list  # minimizer-bin ranges per shard (for bookkeeping)
+
+    @property
+    def n_shards(self) -> int:
+        return self.tables.shape[0]
+
+
+def shard_hash_tables(
+    keys: np.ndarray,
+    vals: np.ndarray,
+    vals_dense: np.ndarray,
+    offsets: np.ndarray,
+    n_shards: int,
+) -> ShardedHashPlanes:
+    """Partition keys by minimizer range (same invariant as the bsearch
+    shards) and build one hash table per shard, padded to a common size."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..db.hash_table import _build_attempt, build_hash_table
+
+    bounds = partition_bins_equal_keys(offsets, n_shards)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    tables, lbs = [], []
+    for lo, hi in bounds:
+        klo, khi = int(offsets[lo]), int(offsets[hi])
+        t, lb_i = build_hash_table(keys[klo:khi], vals[klo:khi], vals_dense[klo:khi])
+        tables.append(t)
+        lbs.append(lb_i)
+    lb = max(lbs)
+    if len(set(lbs)) > 1:
+        # rebuild smaller shards at the common lb for uniform stacking
+        for i, ((lo, hi), tlb) in enumerate(zip(bounds, lbs)):
+            if tlb == lb:
+                continue
+            klo, khi = int(offsets[lo]), int(offsets[hi])
+            packed = (
+                np.asarray(vals_dense[klo:khi], dtype=np.uint64) << np.uint64(32)
+            ) | np.asarray(vals[klo:khi], dtype=np.uint64)
+            tables[i], ov = _build_attempt(
+                jax.device_put(np.ascontiguousarray(keys[klo:khi], dtype=np.uint64)),
+                jax.device_put(packed),
+                lb,
+            )
+            if int(ov) != 0:
+                raise AssertionError("hash shard overflow at forced table size")
+    return ShardedHashPlanes(tables=jnp.stack(tables), lb=lb, bounds=bounds)

@@ -74,3 +74,35 @@ def test_sharded_equals_single(n_data, n_db):
         np.testing.assert_array_equal(
             np.asarray(single[key]), np.asarray(sharded[key]), err_msg=key
         )
+
+
+@pytest.mark.parametrize("n_data,n_db", [(2, 4), (1, 8)])
+def test_hash_sharded_equals_single(n_data, n_db):
+    from krakenuniq_tpu.parallel.partition import shard_hash_tables
+
+    db, tax = load_database_dir(DATA)
+    reads = [d.seq for d in read_sequences(os.path.join(DATA, "reads.fa"))][:64]
+    enc = encode_batch(reads, lb=256, batch=64)
+    cfg = StepConfig(
+        k=db.k, nt=db.nt, n_iter=db.search_iters, max_depth=tax.max_depth,
+        lookup_mode="hash", hash_lbs=(db.hash_lb,),
+    )
+    root = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
+    single = classify_step(
+        ((db.hash_table,),),
+        tax.taxids.astype(np.uint32), tax.tin, tax.tout, tax.parent, root,
+        enc.codes, enc.ambig, enc.lengths, cfg,
+    )
+    planes = shard_hash_tables(
+        np.asarray(db.keys), np.asarray(db.vals), np.asarray(db.vals_dense),
+        np.asarray(db.offsets), n_db,
+    )
+    mesh = make_mesh(n_data, n_db)
+    fn, _ = make_sharded_classify_fn(
+        mesh, planes, tax.taxids.astype(np.uint32), tax.tin, tax.tout, tax.parent, root, cfg
+    )
+    sharded = fn(enc.codes, enc.ambig, enc.lengths)
+    for key in ("taxa", "ambig", "call", "hits", "enc", "hll_lanes"):
+        np.testing.assert_array_equal(
+            np.asarray(single[key]), np.asarray(sharded[key]), err_msg=key
+        )
