@@ -69,8 +69,11 @@ def make_demo_db(
     """Returns (keys, vals, offsets, taxonomy, genomes_by_taxid) with keys
     sorted in reference (minimizer-bin, key) order."""
     tax, species = make_demo_taxonomy(n_species)
-    key = jax.random.PRNGKey(seed)
-    codes = jax.random.randint(key, (n_species, genome_len), 0, 4, dtype=jnp.uint8)
+    # genome codes generated on host (tiny data; the device threefry kernels
+    # are disproportionately expensive to compile on remote transports)
+    rng = np.random.default_rng(seed)
+    host_codes = rng.integers(0, 4, size=(n_species, genome_len), dtype=np.uint8)
+    codes = jax.device_put(host_codes)
 
     @jax.jit
     def extract(codes):
@@ -103,7 +106,6 @@ def make_demo_db(
     vals = np.asarray(species, dtype=np.uint32)[sp]
 
     genomes = {}
-    host_codes = np.asarray(codes)
     for i, sid in enumerate(species):
         genomes[sid] = _BASES_B[host_codes[i]].tobytes().decode()
     return keys, vals, offsets, tax, genomes
