@@ -82,7 +82,7 @@ class ClassifyOptions:
     # end (fast mode; see classify/device_counters.py for the trade-off)
     device_counters: bool = False
     device_batch_reads: int = 16384  # units per device dispatch are grouped up to this
-    max_runs: int = 32  # device-side RLE run slots per read (overflow -> host fallback)
+    max_runs: int = 16  # device-side RLE run slots per read (overflow -> host fallback)
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -709,12 +709,27 @@ class Classifier:
 
     def ensure_counts_files(self) -> None:
         """Generate <db>.kdb.counts once per DB and feed genome sizes into the
-        taxonomy (classify.cpp:260-285)."""
-        for d in self.db_dirs:
+        taxonomy (classify.cpp:260-285). The histogram over the DB value
+        column runs on device (the values are already resident)."""
+        import jax.numpy as jnp
+
+        for i, d in enumerate(self.db_dirs):
             path = os.path.join(d, "database.kdb") + ".counts"  # "<kdb path>.counts"
             if not (os.path.exists(path) and os.path.getsize(path) > 0):
-                _, _, vals = read_kdb(os.path.join(d, "database.kdb"))
-                write_counts(path, counts_from_vals(vals))
+                db = self.dbs[i]
+                hist = np.asarray(
+                    jnp.bincount(db.vals_dense, length=self.taxonomy.size)
+                )
+                active = np.flatnonzero(hist)
+                counts = {
+                    int(self.taxonomy.taxids[a]): int(hist[a]) for a in active
+                }
+                # values whose taxid was missing from the taxonomy land on
+                # dense 0 with vals != 0; fall back to the host histogram
+                if (np.asarray(db.vals_dense) == 0).any() and 0 in counts:
+                    _, _, vals = read_kdb(os.path.join(d, "database.kdb"))
+                    counts = counts_from_vals(vals)
+                write_counts(path, counts)
             self.taxonomy.set_genome_sizes(read_counts_stream_bugcompat(path))
 
     def write_report(self, fh) -> None:
