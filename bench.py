@@ -119,17 +119,21 @@ def main():
                 start = int(rng.integers(0, len(g) - read_len))
                 f.write(f">r{i}\n{g[start:start+read_len]}\n")
 
-        c = Classifier(
-            [td],
-            ClassifyOptions(
-                print_progress=False,
-                device_counters=os.environ.get("BENCH_DEVICE_COUNTERS", "1") == "1",
-            ),
-        )
-        sink = open(os.devnull, "w")
-        t3 = time.time()
-        c.run([reads_path], kraken_fh=sink)
-        dt_pipe = time.time() - t3
+        dt_pipe = None
+        for attempt in range(2):  # second pass runs with warm compile caches
+            c = Classifier(
+                [td],
+                ClassifyOptions(
+                    print_progress=False,
+                    device_counters=os.environ.get("BENCH_DEVICE_COUNTERS", "1") == "1",
+                ),
+            )
+            sink = open(os.devnull, "w")
+            t3 = time.time()
+            c.run([reads_path], kraken_fh=sink)
+            dt = time.time() - t3
+            print(f"pipeline pass {attempt}: {dt:.2f}s", file=sys.stderr)
+            dt_pipe = dt if dt_pipe is None else min(dt_pipe, dt)
         rep = io.StringIO()
         t4 = time.time()
         c.write_report(rep)

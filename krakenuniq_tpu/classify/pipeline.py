@@ -50,6 +50,7 @@ except ImportError:  # extension not built; pure-Python path
     _native = None
 
 DEF_WORK_UNIT_SIZE = 500_000  # bp, classify.cpp:38
+_PROFILE = bool(os.environ.get("KRAKENUNIQ_TPU_PROFILE"))
 _CHUNK_BYTES = 8 << 20
 
 
@@ -344,15 +345,26 @@ class Classifier:
                 f"reads longer than {opts.max_read_len} bp are not supported yet"
             )
         lb = _bucket_len(max(max_len, self.k), max(128, self.k))
-        b = _bucket(n_span, opts.min_batch_reads)
+        # fixed batch height: every span compiles to the same program (a new
+        # shape costs a full XLA compile; padding rows are cheap)
+        b = opts.device_batch_reads if n_span <= opts.device_batch_reads else _bucket(
+            n_span, opts.min_batch_reads
+        )
         offs_c = np.ascontiguousarray(offs)
+        t0 = time.time() if _PROFILE else 0
         codes, ambig_arr, lengths = _native.encode_unit(buf, offs_c, lb, b)
+        t1 = time.time() if _PROFILE else 0
         out = self._device_step(codes, ambig_arr, lengths)
         if self.dev_counters is not None:
             row_valid = np.zeros(out["call_dense"].shape[0], dtype=bool)
             row_valid[:n_span] = True
             self.dev_counters.update(
                 out["taxa_dense"], out["enc"], out["hll_lanes"], out["call_dense"], row_valid
+            )
+        if _PROFILE:
+            t2 = time.time()
+            sys.stderr.write(
+                f"\n[span b={b} lb={lb}] encode {1e3*(t1-t0):.0f}ms dispatch {1e3*(t2-t1):.0f}ms"
             )
         return (buf, offs_c, unit_bounds, fastq, out, seq_lens, n_span)
 
@@ -363,7 +375,10 @@ class Classifier:
         opts = self.opts
 
         r = self._cfg.max_runs
+        t0 = time.time() if _PROFILE else 0
         packed = np.asarray(out["packed"])[:n_span]
+        if _PROFILE:
+            sys.stderr.write(f" fetch {1e3*(time.time()-t0):.0f}ms")
         calls = packed[:, 2 * r].copy()
         n_kmers = packed[:, 2 * r + 2].astype(np.int32)
         n_runs = packed[:, 2 * r + 3]
@@ -436,6 +451,8 @@ class Classifier:
                     kraken_fh.write(lines)
                 except TypeError:
                     kraken_fh.write(lines.decode())
+        if _PROFILE:
+            sys.stderr.write(f" finish {1e3*(time.time()-t0):.0f}ms")
 
         if classified_fh is not None or unclassified_fh is not None:
             for i in range(n_span):
