@@ -83,7 +83,7 @@ class ClassifyOptions:
     # end (fast mode; see classify/device_counters.py for the trade-off)
     device_counters: bool = False
     device_batch_reads: int = 16384  # units per device dispatch are grouped up to this
-    max_runs: int = 16  # device-side RLE run slots per read (overflow -> host fallback)
+    max_runs: int = 4  # device-side RLE run slots per read (overflow rows re-fetched)
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -409,26 +409,33 @@ class Classifier:
                 self.counter.process_unit(counted_taxa, counted, calls[s_:e_])
 
         if kraken_fh is not None:
-            # rows whose run count overflowed the device RLE buffer
-            ov_rows = np.flatnonzero(n_runs > r).astype(np.int64)
+            # rows whose run count overflowed the device RLE buffer: gather
+            # just those rows on device, transfer them, and format in C++
+            if opts.quick:
+                ov_rows = np.empty(0, dtype=np.int64)
+            else:
+                ov_rows = np.flatnonzero(n_runs > r).astype(np.int64)
             ov_lines = []
             if len(ov_rows):
-                taxa_rows = np.asarray(out["taxa"][ov_rows])
-                ambig_rows = np.asarray(out["ambig"][ov_rows])
-                for z, row_i in enumerate(ov_rows.tolist()):
-                    nk = int(n_kmers[row_i])
-                    rid = buf[offs_c[row_i, 0] : offs_c[row_i, 0] + offs_c[row_i, 1]].decode()
-                    ov_lines.append(
-                        kraken_line(
-                            rid,
-                            int(calls[row_i]),
-                            int(seq_lens[row_i]),
-                            taxa_rows[z, :nk],
-                            ambig_rows[z, :nk],
-                            quick=opts.quick,
-                            hits=int(packed[row_i, 2 * r + 1]),
-                        ).encode()
-                    )
+                taxa_rows = np.ascontiguousarray(np.asarray(out["taxa"][ov_rows]))
+                ambig_rows = np.ascontiguousarray(
+                    np.asarray(out["ambig"][ov_rows]).astype(np.uint8)
+                )
+                sub = _native.kraken_lines(
+                    buf,
+                    np.ascontiguousarray(offs_c[ov_rows, 0]),
+                    np.ascontiguousarray(offs_c[ov_rows, 1]),
+                    np.ascontiguousarray(calls[ov_rows], dtype=np.uint32),
+                    np.ascontiguousarray(seq_lens[ov_rows]),
+                    np.ascontiguousarray(n_kmers[ov_rows]),
+                    taxa_rows,
+                    ambig_rows,
+                    False,
+                    np.ascontiguousarray(n_kmers[ov_rows]),  # hits unused (not quick)
+                    False,
+                )
+                ov_lines = sub.splitlines(keepends=True)
+                assert len(ov_lines) == len(ov_rows)
             if self.uid_map is not None:
                 packed = packed.copy()
                 packed[:, 2 * r] = calls

@@ -307,9 +307,10 @@ PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
     uint32_t n_kmers = row[2 * R + 2];
     uint32_t n_runs = row[2 * R + 3];
     if (ov_pos < n_ov && ovp[ov_pos] == i) {
-      // pre-rendered overflow line
+      // pre-rendered overflow line (consume it even when suppressed below)
       PyObject* line = PyList_GetItem(ov_lines, (Py_ssize_t)ov_pos);
       ov_pos++;
+      if (!call && only_classified) continue;
       if (line && PyBytes_Check(line))
         out.append(PyBytes_AS_STRING(line), (size_t)PyBytes_GET_SIZE(line));
       continue;
