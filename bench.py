@@ -37,9 +37,25 @@ def main():
     read_len = int(os.environ.get("BENCH_READ_LEN", 150))
     reps = int(os.environ.get("BENCH_REPS", 10))
 
-    keys, vals, offsets, tax, genomes = make_demo_db(
-        n_species=n_species, genome_len=genome_len, k=k, nt=nt
+    cache = os.path.expanduser(
+        f"~/.cache/kuniq_bench_db_{n_species}_{genome_len}_{k}_{nt}.npz"
     )
+    if os.path.exists(cache):
+        z = np.load(cache, allow_pickle=True)
+        keys, vals, offsets = z["keys"], z["vals"], z["offsets"]
+        genomes = z["genomes"].item()
+        from krakenuniq_tpu.utils.demo import make_demo_taxonomy
+
+        tax, _ = make_demo_taxonomy(n_species)
+        print("bench db loaded from cache", file=sys.stderr)
+    else:
+        keys, vals, offsets, tax, genomes = make_demo_db(
+            n_species=n_species, genome_len=genome_len, k=k, nt=nt
+        )
+        np.savez_compressed(
+            cache, keys=keys, vals=vals, offsets=offsets,
+            genomes=np.array(genomes, dtype=object),
+        )
     vals_dense = tax.dense_index(vals)
     print(
         f"bench db: {len(keys)} keys, {int(np.diff(offsets).max())} max bin, "

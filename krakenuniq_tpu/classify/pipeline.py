@@ -83,7 +83,7 @@ class ClassifyOptions:
     # end (fast mode; see classify/device_counters.py for the trade-off)
     device_counters: bool = False
     device_batch_reads: int = 16384  # units per device dispatch are grouped up to this
-    max_runs: int = 4  # device-side RLE run slots per read (overflow rows re-fetched)
+    max_runs: int = 8  # device-side RLE run slots per read (overflow rows re-fetched)
 
 
 def _bucket(n: int, lo: int) -> int:
