@@ -26,6 +26,12 @@ def main():
     t0 = time.time()
     import jax
 
+    # BENCH_PLATFORM=cpu for smoke tests; the env var JAX_PLATFORMS is
+    # overridden by this environment's sitecustomize, the config API is not
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     from krakenuniq_tpu.classify.device_step import StepConfig, classify_step
     from krakenuniq_tpu.kmer import encode_batch
     from krakenuniq_tpu.utils.demo import make_demo_db, make_demo_reads
@@ -40,6 +46,7 @@ def main():
     cache = os.path.expanduser(
         f"~/.cache/kuniq_bench_db_{n_species}_{genome_len}_{k}_{nt}.npz"
     )
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
     if os.path.exists(cache):
         z = np.load(cache, allow_pickle=True)
         keys, vals, offsets = z["keys"], z["vals"], z["offsets"]

@@ -1,0 +1,34 @@
+"""bench.py must always produce its JSON line (runs tiny on the CPU mesh)."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_smoke(tmp_path):
+    env = dict(os.environ)
+    env.update(
+        BENCH_SPECIES="2",
+        BENCH_GENOME_LEN="3000",
+        BENCH_BATCH="64",
+        BENCH_REPS="2",
+        BENCH_PIPELINE_READS="300",
+        BENCH_PLATFORM="cpu",
+        KRAKENUNIQ_TPU_CACHE=str(tmp_path / "xla"),
+        HOME=str(tmp_path),  # keep the demo-db cache out of the real home
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["value"] > 0
