@@ -44,10 +44,9 @@ from .accumulate import TaxonCounter
 from .device_step import StepConfig, classify_step
 from .output import kraken_line
 
-try:
-    from .. import kuniq_native as _native
-except ImportError:  # extension not built; pure-Python path
-    _native = None
+from .._native_build import ensure_native
+
+_native = ensure_native()  # None -> pure-Python host path
 
 DEF_WORK_UNIT_SIZE = 500_000  # bp, classify.cpp:38
 _PROFILE = bool(os.environ.get("KRAKENUNIQ_TPU_PROFILE"))
