@@ -76,8 +76,8 @@ def main():
     from krakenuniq_tpu.db.hash_table import build_hash_table
 
     t_ht = time.time()
-    table, hash_lb = build_hash_table(keys, vals, vals_dense)
-    print(f"hash table: {table.nbytes/1e6:.0f}MB, lb={hash_lb}, "
+    (htags, hvals), hash_lb = build_hash_table(keys, vals, vals_dense)
+    print(f"hash table: {(htags.nbytes + hvals.nbytes)/1e6:.0f}MB, lb={hash_lb}, "
           f"built in {time.time()-t_ht:.1f}s", file=sys.stderr)
     cfg = StepConfig(
         k=k,
@@ -88,7 +88,7 @@ def main():
         hash_lbs=(hash_lb,),
     )
     root = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
-    planes = ((jax.device_put(table),),)
+    planes = ((jax.device_put(htags), jax.device_put(hvals)),)
     taxid_table = jax.device_put(tax.taxids.astype(np.uint32))
     targs = tuple(jax.device_put(x) for x in (tax.tin, tax.tout, tax.parent))
     codes = jax.device_put(enc.codes)

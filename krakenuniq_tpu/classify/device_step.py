@@ -108,9 +108,9 @@ def classify_step_core(
     for db_i, plane in enumerate(db_planes):
         remaining = search & (taxon == 0)
         if cfg.lookup_mode == "hash":
-            (table,) = plane
+            tags, tvals = plane
             t_i, td_i = hash_lookup_kmers(
-                table, canon, hashes, remaining, cfg.hash_lbs[db_i]
+                tags, tvals, hashes, remaining, cfg.hash_lbs[db_i]
             )
         else:
             keys, vals, vals_dense, offsets, bin_start = plane

@@ -146,7 +146,7 @@ class Classifier:
         self._root_dense = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
         use_hash = all(db.hash_table is not None for db in self.dbs)
         if use_hash:
-            self._db_planes = tuple((db.hash_table,) for db in self.dbs)
+            self._db_planes = tuple(db.hash_table for db in self.dbs)
         else:
             self._db_planes = tuple(
                 (db.keys, db.vals, db.vals_dense, db.offsets, db.bin_start) for db in self.dbs

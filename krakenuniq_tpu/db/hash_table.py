@@ -1,15 +1,21 @@
 """Bucketed two-choice hash table for the device k-mer lookup.
 
-Motivation (measured on TPU v5e): XLA's gather engine costs ~the same per
-INDEX regardless of how many contiguous elements each index fetches, so a
-lookup that touches one 128-byte bucket row per query is ~12x cheaper than a
-12-step binary search. Layout:
+Motivation (measured on TPU v5e): XLA's row-gather has a fast path when the
+gathered row is at most 4 elements wide (~4 ns/row for a 4 x uint64 row) and
+a ~3x cliff above that, with cost per INDEX nearly independent of total
+bytes. The table is therefore stored as two narrow planes of 4-slot buckets:
 
-  table: uint64 [n_buckets, 16]
-    columns 0..7   bucket keys (canonical k-mers; EMPTY = all-ones sentinel)
-    columns 8..15  packed values: vals_dense << 32 | val (original taxid)
+  tags: uint64 [n_buckets, 4]   murmur3_finalizer(key) per slot
+  vals: uint64 [n_buckets, 4]   vals_dense << 32 | val (original taxid)
 
-Every key has two candidate buckets derived from murmur3_finalizer(key)
+The murmur3 finalizer is a BIJECTION on uint64, so storing the mixed hash
+instead of the key loses nothing: tag equality <=> key equality. Empty slots
+hold tag 0 / value 0, which is exact without a reserved sentinel: a query
+whose hash collides with an empty tag reads value 0, i.e. taxon 0 --
+indistinguishable from a database miss, which is also how the reference
+treats stored zero values (classify.cpp:939 counts them under taxon 0).
+
+Every key has two candidate buckets derived from h = murmur3_finalizer(key)
 (the same bit mixer the HLL path computes anyway):
     b1 = h >> (64 - lb)        b2 = (h * GOLDEN) >> (64 - lb)
 Two-choice placement keeps the max bucket load near the average; the build
@@ -19,8 +25,8 @@ grows the table in the (rare) case that fails.
 The build itself runs ON DEVICE (sort + scan + scatter): constructing the
 table for millions of keys takes tens of milliseconds, where the same
 algorithm in host numpy takes minutes on a weak host. The device lookup
-always probes both candidate buckets: two row fetches per query batch,
-independent of database size.
+probes both candidate buckets' tags and then fetches ONE value row: three
+narrow row-gathers per query batch, independent of database size.
 """
 
 from __future__ import annotations
@@ -33,37 +39,26 @@ import numpy as np
 
 from ..utils.bits import murmur3_finalizer
 
-EMPTY_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
-BUCKET_SLOTS = 8
+BUCKET_SLOTS = 4
+EMPTY_TAG = np.uint64(0)
 GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def bucket_ids(h, lb: int):
-    """Host/devices-agnostic candidate bucket ids."""
+    """Host/device-agnostic candidate bucket ids."""
     shift = np.uint64(64 - lb)
     return (h >> shift).astype(np.int64), ((h * GOLDEN) >> shift).astype(np.int64)
 
 
-def _murmur_device(key: jax.Array) -> jax.Array:
-    key = key.astype(jnp.uint64) + jnp.uint64(1)
-    key ^= key >> jnp.uint64(33)
-    key *= jnp.uint64(0xFF51AFD7ED558CCD)
-    key ^= key >> jnp.uint64(33)
-    key *= jnp.uint64(0xC4CEB9FE1A85EC53)
-    key ^= key >> jnp.uint64(33)
-    return key
-
-
 @functools.partial(jax.jit, static_argnames=("lb", "iters"))
-def _build_attempt(keys: jax.Array, packed: jax.Array, lb: int, iters: int = 2):
+def _build_attempt(hashes: jax.Array, packed: jax.Array, lb: int, iters: int = 3):
     """One placement attempt at a given table size; returns
-    (table, overflow_count)."""
-    n = keys.shape[0]
+    (tags, vals, overflow_count)."""
+    n = hashes.shape[0]
     nb = 1 << lb
-    h = _murmur_device(keys)
     shift = jnp.uint64(64 - lb)
-    b1 = (h >> shift).astype(jnp.int32)
-    b2 = ((h * GOLDEN) >> shift).astype(jnp.int32)
+    b1 = (hashes >> shift).astype(jnp.int32)
+    b2 = ((hashes * GOLDEN) >> shift).astype(jnp.int32)
     assign = b1
     iota = jnp.arange(n, dtype=jnp.int32)
 
@@ -76,6 +71,11 @@ def _build_attempt(keys: jax.Array, packed: jax.Array, lb: int, iters: int = 2):
         start_idx = jax.lax.cummax(jnp.where(is_start, iota, -1))
         return iota - start_idx
 
+    # a key whose hash IS the empty tag (0) must stay in its first-choice
+    # bucket: a query for it matches bucket 1's empty slots, so the value
+    # must be found there (empty slots contribute 0 to the selected sum)
+    pinned = hashes == EMPTY_TAG
+
     order = rank = sa = None
     for _ in range(iters):
         order = jnp.argsort(assign, stable=True)
@@ -83,7 +83,9 @@ def _build_attempt(keys: jax.Array, packed: jax.Array, lb: int, iters: int = 2):
         rank = group_rank(sa)
         over = rank >= BUCKET_SLOTS
         alt = jnp.take(b1 + b2, order) - sa
-        new_sorted_assign = jnp.where(over, alt, sa)
+        new_sorted_assign = jnp.where(
+            over & ~jnp.take(pinned, order), alt, sa
+        )
         assign = jnp.zeros_like(assign).at[order].set(new_sorted_assign)
 
     order = jnp.argsort(assign, stable=True)
@@ -93,31 +95,37 @@ def _build_attempt(keys: jax.Array, packed: jax.Array, lb: int, iters: int = 2):
 
     rows = sa.astype(jnp.int64)
     cols = jnp.minimum(rank, BUCKET_SLOTS - 1).astype(jnp.int64)
-    flat_key_idx = rows * (2 * BUCKET_SLOTS) + cols
-    table = jnp.full(nb * 2 * BUCKET_SLOTS, jnp.uint64(EMPTY_KEY))
-    table = table.at[rows * (2 * BUCKET_SLOTS) + BUCKET_SLOTS + cols].set(
+    flat_idx = rows * BUCKET_SLOTS + cols
+    tags = jnp.zeros(nb * BUCKET_SLOTS, jnp.uint64).at[flat_idx].set(
+        jnp.take(hashes, order)
+    )
+    vals = jnp.zeros(nb * BUCKET_SLOTS, jnp.uint64).at[flat_idx].set(
         jnp.take(packed, order)
     )
-    table = table.at[flat_key_idx].set(jnp.take(keys, order))
-    return table.reshape(nb, 2 * BUCKET_SLOTS), overflow
+    return (
+        tags.reshape(nb, BUCKET_SLOTS),
+        vals.reshape(nb, BUCKET_SLOTS),
+        overflow,
+    )
 
 
 def build_hash_table(
     keys: np.ndarray,
     vals: np.ndarray,
     vals_dense: np.ndarray,
-    load_factor: float = 0.25,
+    load_factor: float = 0.5,
 ):
-    """Returns (table uint64 [n_buckets, 16] as a DEVICE array, lb)."""
+    """Returns ((tags, vals) DEVICE arrays uint64 [n_buckets, 4], lb)."""
     n = len(keys)
-    dkeys = jax.device_put(np.ascontiguousarray(keys, dtype=np.uint64))
+    hashes = murmur3_finalizer(np.ascontiguousarray(keys, dtype=np.uint64))
+    dhashes = jax.device_put(hashes)
     packed = (np.asarray(vals_dense, dtype=np.uint64) << np.uint64(32)) | np.asarray(
         vals, dtype=np.uint64
     )
     dpacked = jax.device_put(packed)
     lb = max(4, int(np.ceil(np.log2(max(n, 1) / (BUCKET_SLOTS * load_factor)))))
     while True:
-        table, overflow = _build_attempt(dkeys, dpacked, lb)
+        tags, tvals, overflow = _build_attempt(dhashes, dpacked, lb)
         if int(overflow) == 0:
-            return table, lb
+            return (tags, tvals), lb
         lb += 1

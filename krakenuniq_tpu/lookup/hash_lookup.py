@@ -1,6 +1,9 @@
-"""Device-side hash-table k-mer lookup: two row-gathers per query batch.
+"""Device-side hash-table k-mer lookup: three narrow row-gathers per batch.
 
-See db/hash_table.py for the table layout and the max-chain-2 guarantee.
+See db/hash_table.py for the two-plane (tags, vals) layout and why 4-wide
+uint64 rows hit XLA's fast gather path. The query's murmur hash doubles as
+the comparison tag (the finalizer is bijective), so the canonical k-mers
+themselves never need to be fetched or compared.
 """
 
 from __future__ import annotations
@@ -11,43 +14,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..db.hash_table import BUCKET_SLOTS, EMPTY_KEY, GOLDEN
-
-
-def _probe(table: jax.Array, rows: jax.Array, q: jax.Array):
-    """Fetch one bucket row per query; returns (hit, packed_value)."""
-    row = jnp.take(table, rows, axis=0)  # [M, 16] uint64
-    keys = row[:, :BUCKET_SLOTS]
-    packed = row[:, BUCKET_SLOTS:]
-    eq = keys == q[:, None]
-    hit = jnp.any(eq, axis=1)
-    value = jnp.sum(jnp.where(eq, packed, jnp.uint64(0)), axis=1)
-    return hit, value
+from ..db.hash_table import GOLDEN
 
 
 @functools.partial(jax.jit, static_argnames=("lb",))
 def hash_lookup_kmers(
-    table: jax.Array,  # uint64 [n_buckets, 16]
-    query: jax.Array,  # uint64 [...] canonical k-mers
-    hashes: jax.Array,  # uint64 [...] murmur3_finalizer(query)
+    tags: jax.Array,  # uint64 [n_buckets, 4]
+    vals: jax.Array,  # uint64 [n_buckets, 4]
+    hashes: jax.Array,  # uint64 [...] murmur3_finalizer(canonical k-mer)
     valid: jax.Array,  # bool [...]
     lb: int,
 ):
     """Returns (taxon uint32, taxon_dense int32); 0 where missing/invalid."""
-    shape = query.shape
-    q = query.reshape(-1)
+    shape = hashes.shape
     h = hashes.reshape(-1)
     v = valid.reshape(-1)
-    nb = table.shape[0]
 
     shift = np.uint64(64 - lb)
     rows1 = (h >> shift).astype(jnp.int32)
     rows2 = ((h * GOLDEN) >> shift).astype(jnp.int32)
-    hit1, val1 = _probe(table, rows1, q)
-    hit2, val2 = _probe(table, rows2, q)
+    eq1 = jnp.take(tags, rows1, axis=0) == h[:, None]
+    hit1 = jnp.any(eq1, axis=1)
+    eq2 = jnp.take(tags, rows2, axis=0) == h[:, None]
+    hit2 = jnp.any(eq2, axis=1)
+
+    # one value fetch from whichever bucket matched (arbitrary row on miss --
+    # its value is masked out below)
+    row = jnp.where(hit1, rows1, rows2)
+    eq = jnp.where(hit1[:, None], eq1, eq2)
+    vrow = jnp.take(vals, row, axis=0)
+    value = jnp.sum(jnp.where(eq, vrow, jnp.uint64(0)), axis=1)
 
     hit = (hit1 | hit2) & v
-    value = jnp.where(hit1, val1, val2)
     taxon = jnp.where(hit, value & jnp.uint64(0xFFFFFFFF), 0).astype(jnp.uint32)
     taxon_dense = jnp.where(hit, value >> jnp.uint64(32), 0).astype(jnp.int32)
     return taxon.reshape(shape), taxon_dense.reshape(shape)

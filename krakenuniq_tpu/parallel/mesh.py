@@ -64,7 +64,10 @@ def make_sharded_classify_fn(
     repl = NamedSharding(mesh, P())
 
     if hash_mode:
-        dev_planes = (jax.device_put(planes.tables, db_sharding3),)
+        dev_planes = (
+            jax.device_put(planes.tags, db_sharding3),
+            jax.device_put(planes.vals, db_sharding3),
+        )
     else:
         dev_planes = (
             jax.device_put(planes.keys, db_sharding),
@@ -80,8 +83,8 @@ def make_sharded_classify_fn(
 
     if hash_mode:
 
-        def core(tables, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
-            db_planes = ((tables[0],),)
+        def core(tags, vals, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
+            db_planes = ((tags[0], vals[0]),)
             return classify_step_core(
                 db_planes, taxid_table, tin, tout, parent, root, codes, ambig, lengths, cfg
             )
@@ -110,7 +113,7 @@ def make_sharded_classify_fn(
         out_specs["canon"] = P("data", None)
 
     if hash_mode:
-        plane_specs = (P("db", None, None),)
+        plane_specs = (P("db", None, None), P("db", None, None))
     else:
         plane_specs = (
             P("db", None),  # keys

@@ -89,13 +89,14 @@ def shard_db_planes(
 class ShardedHashPlanes:
     """Stacked per-shard two-choice hash tables (db/hash_table.py layout)."""
 
-    tables: object  # uint64 [S, n_buckets, 16] (device array)
+    tags: object  # uint64 [S, n_buckets, 4] (device array)
+    vals: object  # uint64 [S, n_buckets, 4] (device array)
     lb: int
     bounds: list  # minimizer-bin ranges per shard (for bookkeeping)
 
     @property
     def n_shards(self) -> int:
-        return self.tables.shape[0]
+        return self.tags.shape[0]
 
 
 def shard_hash_tables(
@@ -111,6 +112,7 @@ def shard_hash_tables(
     import jax.numpy as jnp
 
     from ..db.hash_table import _build_attempt, build_hash_table
+    from ..utils.bits import murmur3_finalizer
 
     bounds = partition_bins_equal_keys(offsets, n_shards)
     offsets = np.asarray(offsets, dtype=np.int64)
@@ -130,11 +132,21 @@ def shard_hash_tables(
             packed = (
                 np.asarray(vals_dense[klo:khi], dtype=np.uint64) << np.uint64(32)
             ) | np.asarray(vals[klo:khi], dtype=np.uint64)
-            tables[i], ov = _build_attempt(
-                jax.device_put(np.ascontiguousarray(keys[klo:khi], dtype=np.uint64)),
+            tags_i, vals_i, ov = _build_attempt(
+                jax.device_put(
+                    murmur3_finalizer(
+                        np.ascontiguousarray(keys[klo:khi], dtype=np.uint64)
+                    )
+                ),
                 jax.device_put(packed),
                 lb,
             )
             if int(ov) != 0:
                 raise AssertionError("hash shard overflow at forced table size")
-    return ShardedHashPlanes(tables=jnp.stack(tables), lb=lb, bounds=bounds)
+            tables[i] = (tags_i, vals_i)
+    return ShardedHashPlanes(
+        tags=jnp.stack([t[0] for t in tables]),
+        vals=jnp.stack([t[1] for t in tables]),
+        lb=lb,
+        bounds=bounds,
+    )

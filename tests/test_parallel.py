@@ -89,7 +89,7 @@ def test_hash_sharded_equals_single(n_data, n_db):
     )
     root = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
     single = classify_step(
-        ((db.hash_table,),),
+        (db.hash_table,),
         tax.taxids.astype(np.uint32), tax.tin, tax.tout, tax.parent, root,
         enc.codes, enc.ambig, enc.lengths, cfg,
     )
