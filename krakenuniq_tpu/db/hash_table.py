@@ -50,49 +50,61 @@ def bucket_ids(h, lb: int):
     return (h >> shift).astype(np.int64), ((h * GOLDEN) >> shift).astype(np.int64)
 
 
-@functools.partial(jax.jit, static_argnames=("lb", "iters"))
-def _build_attempt(hashes: jax.Array, packed: jax.Array, lb: int, iters: int = 3):
-    """One placement attempt at a given table size; returns
-    (tags, vals, overflow_count)."""
-    n = hashes.shape[0]
-    nb = 1 << lb
+def _group_rank(sa, iota):
+    """Rank within equal-value groups of a sorted array, via a cummax of
+    group-start positions (lax.cummax is a single primitive -- an
+    associative_scan here costs minutes of compile time on remote
+    transports)."""
+    is_start = jnp.concatenate([jnp.ones(1, bool), sa[1:] != sa[:-1]])
+    start_idx = jax.lax.cummax(jnp.where(is_start, iota, -1))
+    return iota - start_idx
+
+
+@functools.partial(jax.jit, static_argnames=("lb",), donate_argnums=(0,))
+def _rebalance_iter(assign, hashes, lb: int, it):
+    """One two-choice rebalance sweep: flip a hash-selected half of each
+    overfull bucket's excess keys to their alternate bucket.
+
+    Two sources of randomness make this a converging random walk instead of
+    a deadlock: (1) the flip coin (a rotating hash bit) breaks the livelock
+    where two buckets bounce the same keys forever, and (2) the per-sweep
+    intra-bucket priority reshuffle means no key holds a slot permanently --
+    without it, a cycle of buckets saturated by never-moving rank<4 keys is
+    a permanent deadlock (observed: ~600 keys stuck at 4.8M keys, lb=22)."""
+    n = assign.shape[0]
     shift = jnp.uint64(64 - lb)
     b1 = (hashes >> shift).astype(jnp.int32)
     b2 = ((hashes * GOLDEN) >> shift).astype(jnp.int32)
-    assign = b1
-    iota = jnp.arange(n, dtype=jnp.int32)
-
-    def group_rank(sa):
-        # sa sorted ascending; rank within equal-value group via a cummax of
-        # group-start positions (lax.cummax is a single primitive -- an
-        # associative_scan here costs minutes of compile time on remote
-        # transports)
-        is_start = jnp.concatenate([jnp.ones(1, bool), sa[1:] != sa[:-1]])
-        start_idx = jax.lax.cummax(jnp.where(is_start, iota, -1))
-        return iota - start_idx
-
     # a key whose hash IS the empty tag (0) must stay in its first-choice
     # bucket: a query for it matches bucket 1's empty slots, so the value
     # must be found there (empty slots contribute 0 to the selected sum)
     pinned = hashes == EMPTY_TAG
+    iota = jnp.arange(n, dtype=jnp.int32)
+    rot = (it % 53).astype(jnp.uint64)
+    scram = ((hashes >> rot) ^ hashes).astype(jnp.uint32)
+    sa, _, perm = jax.lax.sort((assign, scram, iota), num_keys=2)
+    rank = _group_rank(sa, iota)
+    over = rank >= BUCKET_SLOTS
+    overflow = jnp.sum(over.astype(jnp.int32))
+    coin = (
+        (jnp.take(hashes, perm) >> (it % 61).astype(jnp.uint64)) & jnp.uint64(1)
+    ) == 1
+    flip = over & ~jnp.take(pinned, perm) & coin
+    alt = jnp.take(b1 + b2, perm) - sa
+    new_sorted = jnp.where(flip, alt, sa)
+    new_assign = jnp.zeros_like(assign).at[perm].set(new_sorted)
+    return new_assign, overflow
 
-    order = rank = sa = None
-    for _ in range(iters):
-        order = jnp.argsort(assign, stable=True)
-        sa = jnp.take(assign, order)
-        rank = group_rank(sa)
-        over = rank >= BUCKET_SLOTS
-        alt = jnp.take(b1 + b2, order) - sa
-        new_sorted_assign = jnp.where(
-            over & ~jnp.take(pinned, order), alt, sa
-        )
-        assign = jnp.zeros_like(assign).at[order].set(new_sorted_assign)
 
+@functools.partial(jax.jit, static_argnames=("lb",))
+def _finalize_table(assign, hashes, packed, lb: int):
+    n = hashes.shape[0]
+    nb = 1 << lb
+    iota = jnp.arange(n, dtype=jnp.int32)
     order = jnp.argsort(assign, stable=True)
     sa = jnp.take(assign, order)
-    rank = group_rank(sa)
+    rank = _group_rank(sa, iota)
     overflow = jnp.sum((rank >= BUCKET_SLOTS).astype(jnp.int32))
-
     rows = sa.astype(jnp.int64)
     cols = jnp.minimum(rank, BUCKET_SLOTS - 1).astype(jnp.int64)
     flat_idx = rows * BUCKET_SLOTS + cols
@@ -102,11 +114,22 @@ def _build_attempt(hashes: jax.Array, packed: jax.Array, lb: int, iters: int = 3
     vals = jnp.zeros(nb * BUCKET_SLOTS, jnp.uint64).at[flat_idx].set(
         jnp.take(packed, order)
     )
-    return (
-        tags.reshape(nb, BUCKET_SLOTS),
-        vals.reshape(nb, BUCKET_SLOTS),
-        overflow,
-    )
+    return tags.reshape(nb, BUCKET_SLOTS), vals.reshape(nb, BUCKET_SLOTS), overflow
+
+
+def _build_attempt(hashes, packed, lb: int, max_iters: int = 48):
+    """Placement attempt at a fixed table size via an iterated two-choice
+    random walk; returns (tags, vals, overflow_count)."""
+    shift = np.uint64(64 - lb)
+    assign = (np.asarray(hashes) >> shift).astype(np.int32)
+    assign = jax.device_put(assign)
+    it = 0
+    while it < max_iters:
+        assign, overflow = _rebalance_iter(assign, hashes, lb, jnp.int32(it))
+        it += 1
+        if it >= 4 and int(overflow) == 0:
+            break
+    return _finalize_table(assign, hashes, packed, lb)
 
 
 def build_hash_table(
@@ -115,7 +138,11 @@ def build_hash_table(
     vals_dense: np.ndarray,
     load_factor: float = 0.5,
 ):
-    """Returns ((tags, vals) DEVICE arrays uint64 [n_buckets, 4], lb)."""
+    """Returns ((tags, vals) DEVICE arrays uint64 [n_buckets, 4], lb).
+
+    load_factor = keys / slots; two-choice 4-slot buckets place reliably at
+    0.5 within a few dozen sweeps. If placement fails the table is grown
+    (at most twice) before giving up."""
     n = len(keys)
     hashes = murmur3_finalizer(np.ascontiguousarray(keys, dtype=np.uint64))
     dhashes = jax.device_put(hashes)
@@ -124,8 +151,11 @@ def build_hash_table(
     )
     dpacked = jax.device_put(packed)
     lb = max(4, int(np.ceil(np.log2(max(n, 1) / (BUCKET_SLOTS * load_factor)))))
-    while True:
+    for _ in range(3):
         tags, tvals, overflow = _build_attempt(dhashes, dpacked, lb)
         if int(overflow) == 0:
             return (tags, tvals), lb
         lb += 1
+    raise RuntimeError(
+        f"hash table placement failed for {n} keys even at 2^{lb - 1} buckets"
+    )
