@@ -207,19 +207,21 @@ def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs):
     run_id = jnp.cumsum(change.astype(jnp.int32), axis=1) - 1  # -1 before first run
     n_runs = jnp.max(jnp.where(valid, run_id, -1), axis=1) + 1
 
-    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, w))
-    flat_idx = rows * r + jnp.clip(run_id, 0, r - 1)
-    flat_idx = jnp.where(valid & (run_id < r), flat_idx, b * r)  # spill bucket
-
-    run_vals = jnp.zeros(b * r + 1, dtype=jnp.uint32).at[flat_idx].max(taxon)
-    run_lens = jnp.zeros(b * r + 1, dtype=jnp.uint32).at[flat_idx].add(
-        jnp.uint32(1) * valid.astype(jnp.uint32)
+    # per-run fields as broadcast-reductions over the R run slots: all lanes
+    # of a run share one taxon, so a masked max/sum over W per (read, slot)
+    # replaces three 2M-element scatters (scatters cost ~30ms each on v5e;
+    # this fuses into ~1ms of VPU reductions)
+    r_idx = jnp.arange(r, dtype=jnp.int32)
+    in_slot = valid[:, None, :] & (run_id[:, None, :] == r_idx[None, :, None])
+    run_vals = jnp.max(
+        jnp.where(in_slot, taxon[:, None, :], jnp.uint32(0)), axis=2
     )
-    run_amb = jnp.zeros(b * r + 1, dtype=jnp.uint32).at[flat_idx].max(
-        kmer_ambig.astype(jnp.uint32) << jnp.uint32(31)
+    run_lens = jnp.sum(in_slot, axis=2).astype(jnp.uint32)
+    run_amb = (
+        jnp.any(in_slot & kmer_ambig[:, None, :], axis=2).astype(jnp.uint32)
+        << jnp.uint32(31)
     )
-    run_vals = run_vals[: b * r].reshape(b, r)
-    run_lens = (run_lens[: b * r] | run_amb[: b * r]).reshape(b, r)
+    run_lens = run_lens | run_amb
 
     return jnp.concatenate(
         [
@@ -235,3 +237,49 @@ def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs):
 
 
 classify_step = jax.jit(classify_step_core, static_argnames=("cfg",))
+
+
+def _classify_and_count_core(
+    reg,
+    kmer_counts,
+    read_counts,
+    db_planes,
+    taxid_table,
+    tin,
+    tout,
+    parent,
+    root_dense,
+    codes,
+    ambig,
+    lengths,
+    n_valid,
+    cfg: StepConfig,
+    p: int,
+):
+    """Classify step with the --device-counters accumulation fused into the
+    same XLA program: one dispatch per span, and the accumulation scatters
+    overlap the lookup gathers instead of serializing behind them."""
+    from .device_counters import update_core
+
+    out = classify_step_core(
+        db_planes, taxid_table, tin, tout, parent, root_dense, codes, ambig, lengths, cfg
+    )
+    b = codes.shape[0]
+    row_valid = jnp.arange(b, dtype=jnp.int32) < n_valid
+    state = update_core(
+        reg,
+        kmer_counts,
+        read_counts,
+        out["taxa_dense"],
+        out["enc"],
+        out["hll_lanes"],
+        out["call_dense"],
+        row_valid,
+        p,
+    )
+    return out, state
+
+
+classify_and_count = jax.jit(
+    _classify_and_count_core, static_argnames=("cfg", "p"), donate_argnums=(0, 1, 2)
+)

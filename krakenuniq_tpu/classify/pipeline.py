@@ -353,13 +353,36 @@ class Classifier:
         t0 = time.time() if _PROFILE else 0
         codes, ambig_arr, lengths = _native.encode_unit(buf, offs_c, lb, b)
         t1 = time.time() if _PROFILE else 0
-        out = self._device_step(codes, ambig_arr, lengths)
         if self.dev_counters is not None:
-            row_valid = np.zeros(out["call_dense"].shape[0], dtype=bool)
-            row_valid[:n_span] = True
-            self.dev_counters.update(
-                out["taxa_dense"], out["enc"], out["hll_lanes"], out["call_dense"], row_valid
+            # accumulation fused into the classify program: one dispatch,
+            # scatters overlapped with the lookup gathers
+            from .device_step import classify_and_count
+
+            out, state = classify_and_count(
+                *self.dev_counters.state(),
+                self._db_planes,
+                self._taxid_table,
+                self._tin,
+                self._tout,
+                self._parent,
+                self._root_dense,
+                codes,
+                ambig_arr,
+                lengths,
+                np.int32(n_span),
+                self._cfg,
+                self.dev_counters.p,
             )
+            self.dev_counters.set_state(state)
+        else:
+            out = self._device_step(codes, ambig_arr, lengths)
+        # force the (possibly lazy) transport to start executing and moving
+        # the packed matrix now, so the host-side finish of the PREVIOUS span
+        # genuinely overlaps this span's device work
+        try:
+            out["packed" if self._cfg.max_runs > 0 else "call"].copy_to_host_async()
+        except (AttributeError, KeyError):
+            pass
         if _PROFILE:
             t2 = time.time()
             sys.stderr.write(

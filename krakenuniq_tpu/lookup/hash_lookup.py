@@ -33,17 +33,25 @@ def hash_lookup_kmers(
     shift = np.uint64(64 - lb)
     rows1 = (h >> shift).astype(jnp.int32)
     rows2 = ((h * GOLDEN) >> shift).astype(jnp.int32)
+    # all four row-gathers are mutually independent so the hardware can
+    # overlap them (measured: a dependent gather chain runs at its ~30ms
+    # latency per link, independent gathers at ~8ms throughput); a key is
+    # stored in exactly one bucket, so summing both buckets' masked values
+    # is exact (the non-matching bucket contributes zeros)
     eq1 = jnp.take(tags, rows1, axis=0) == h[:, None]
-    hit1 = jnp.any(eq1, axis=1)
     eq2 = jnp.take(tags, rows2, axis=0) == h[:, None]
+    vrow1 = jnp.take(vals, rows1, axis=0)
+    vrow2 = jnp.take(vals, rows2, axis=0)
+    hit1 = jnp.any(eq1, axis=1)
     hit2 = jnp.any(eq2, axis=1)
-
-    # one value fetch from whichever bucket matched (arbitrary row on miss --
-    # its value is masked out below)
-    row = jnp.where(hit1, rows1, rows2)
-    eq = jnp.where(hit1[:, None], eq1, eq2)
-    vrow = jnp.take(vals, row, axis=0)
-    value = jnp.sum(jnp.where(eq, vrow, jnp.uint64(0)), axis=1)
+    # when both choices land on the same bucket the two gathers see the same
+    # slots -- count the second one only when the buckets differ
+    dup = rows1 == rows2
+    value = jnp.sum(jnp.where(eq1, vrow1, jnp.uint64(0)), axis=1) + jnp.where(
+        dup,
+        jnp.uint64(0),
+        jnp.sum(jnp.where(eq2, vrow2, jnp.uint64(0)), axis=1),
+    )
 
     hit = (hit1 | hit2) & v
     taxon = jnp.where(hit, value & jnp.uint64(0xFFFFFFFF), 0).astype(jnp.uint32)
