@@ -44,13 +44,16 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", 10))
 
     cache = os.path.expanduser(
-        f"~/.cache/kuniq_bench_db_{n_species}_{genome_len}_{k}_{nt}.npz"
+        f"~/.cache/kuniq_bench_db_{n_species}_{genome_len}_{k}_{nt}_v2.npz"
     )
     os.makedirs(os.path.dirname(cache), exist_ok=True)
+    cached_hash = None
     if os.path.exists(cache):
         z = np.load(cache, allow_pickle=True)
         keys, vals, offsets = z["keys"], z["vals"], z["offsets"]
         genomes = z["genomes"].item()
+        if "htags" in z:
+            cached_hash = (z["htags"], z["hvals"], int(z["hash_lb"]))
         from krakenuniq_tpu.utils.demo import make_demo_taxonomy
 
         tax, _ = make_demo_taxonomy(n_species)
@@ -58,10 +61,6 @@ def main():
     else:
         keys, vals, offsets, tax, genomes = make_demo_db(
             n_species=n_species, genome_len=genome_len, k=k, nt=nt
-        )
-        np.savez_compressed(
-            cache, keys=keys, vals=vals, offsets=offsets,
-            genomes=np.array(genomes, dtype=object),
         )
     vals_dense = tax.dense_index(vals)
     print(
@@ -73,12 +72,22 @@ def main():
     reads = make_demo_reads(genomes, n_reads=batch, read_len=read_len)
     enc = encode_batch(reads, lb=max(128, read_len), batch=batch)
     max_bin = int(np.diff(offsets).max())
-    from krakenuniq_tpu.db.hash_table import build_hash_table
-
     t_ht = time.time()
-    (htags, hvals), hash_lb = build_hash_table(keys, vals, vals_dense)
-    print(f"hash table: {(htags.nbytes + hvals.nbytes)/1e6:.0f}MB, lb={hash_lb}, "
-          f"built in {time.time()-t_ht:.1f}s", file=sys.stderr)
+    if cached_hash is not None:
+        htags, hvals, hash_lb = cached_hash
+        print("hash table loaded from cache", file=sys.stderr)
+    else:
+        from krakenuniq_tpu.db.hash_table import build_hash_table
+
+        (htags, hvals), hash_lb = build_hash_table(keys, vals, vals_dense)
+        htags, hvals = np.asarray(htags), np.asarray(hvals)
+        np.savez_compressed(
+            cache, keys=keys, vals=vals, offsets=offsets,
+            genomes=np.array(genomes, dtype=object),
+            htags=htags, hvals=hvals, hash_lb=np.int64(hash_lb),
+        )
+        print(f"hash table: {(htags.nbytes + hvals.nbytes)/1e6:.0f}MB, lb={hash_lb}, "
+              f"built in {time.time()-t_ht:.1f}s", file=sys.stderr)
     cfg = StepConfig(
         k=k,
         nt=nt,

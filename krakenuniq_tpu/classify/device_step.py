@@ -51,6 +51,25 @@ def encode_hash_device(h: jax.Array, p: int) -> jax.Array:
     return jnp.where(flagged, idx | (additional_rank << jnp.uint32(1)) | jnp.uint32(1), idx)
 
 
+def unpack_input(codes_packed: jax.Array, ambig_packed: jax.Array):
+    """Unpack the bit-packed device feed (see kuniq_native.encode_unit_packed:
+    base j = bits 2*(j%16) of codes word j/16, bit j%32 of ambig word j/32)
+    into the (B, LB) uint8/bool arrays the window ops consume."""
+    b, lbw = codes_packed.shape
+    lb = lbw * 16
+    csh = jnp.arange(16, dtype=jnp.uint32) * jnp.uint32(2)
+    codes = (
+        ((codes_packed[:, :, None] >> csh[None, None, :]) & jnp.uint32(3))
+        .astype(jnp.uint8)
+        .reshape(b, lb)
+    )
+    ash = jnp.arange(32, dtype=jnp.uint32)
+    ambig = (
+        ((ambig_packed[:, :, None] >> ash[None, None, :]) & jnp.uint32(1)) != 0
+    ).reshape(b, lb)
+    return codes, ambig
+
+
 @dataclasses.dataclass(frozen=True)
 class StepConfig:
     k: int
@@ -72,6 +91,10 @@ class StepConfig:
     # whose O(W^2) resolve would be quadratic in read length; the host
     # resolves from the returned per-k-mer taxa instead)
     resolve: bool = True
+    # True: codes/ambig arrive bit-packed (uint32 words of 16 2-bit codes /
+    # 32 ambiguity bits) and are unpacked on device -- 5x fewer host->device
+    # bytes, which matters when the device link is bandwidth-bound
+    packed_input: bool = False
 
 
 def classify_step_core(
@@ -86,6 +109,8 @@ def classify_step_core(
     lengths: jax.Array,  # int32 [B]
     cfg: StepConfig,
 ):
+    if cfg.packed_input:
+        codes, ambig = unpack_input(codes, ambig)
     k = cfg.k
     b, lb = codes.shape
     w = lb - k + 1
@@ -193,13 +218,21 @@ def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs):
     whole per-read result into one uint32 matrix so the host needs a single
     transfer per batch.
 
-    Row layout (R = max_runs):  [run_vals(R) | run_lens(R) | call | hits |
-    n_kmers | n_runs].  run_lens carries the ambiguity flag in bit 31
-    (an 'A:' run).  Reads with more than R runs report n_runs > R and are
-    re-fetched row-wise by the host (rare).
+    Compact row layout (R = max_runs, must be even; 60B/read at R=8 -- sized
+    for a bandwidth-bound device link):
+      [run_vals(R) | lens2(R/2) | call | n_kmers | hits<<16 | n_runs]
+    lens2 packs two 16-bit run lengths per word (even run in the low half);
+    each u16 = run_len (15 bits) | ambiguity flag << 15 (an 'A:' run).
+    Reads with more than R runs report n_runs > R and are re-fetched row-wise
+    by the host (rare). Requires W < 2^15 and matches the parser in
+    kuniq_native.kraken_lines_rle.
     """
     b, w = taxon.shape
     r = max_runs
+    if r % 2 != 0:
+        raise ValueError("max_runs must be even (paired 16-bit run lengths)")
+    if w >= 1 << 15:
+        raise ValueError("RLE packing supports at most 2^15-1 k-mers per read")
     code = jnp.where(kmer_ambig, jnp.int64(-1), taxon.astype(jnp.int64))
     code = jnp.where(valid, code, jnp.int64(-2))
     prev = jnp.concatenate([jnp.full((b, 1), jnp.int64(-3)), code[:, :-1]], axis=1)
@@ -219,18 +252,19 @@ def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs):
     run_lens = jnp.sum(in_slot, axis=2).astype(jnp.uint32)
     run_amb = (
         jnp.any(in_slot & kmer_ambig[:, None, :], axis=2).astype(jnp.uint32)
-        << jnp.uint32(31)
+        << jnp.uint32(15)
     )
-    run_lens = run_lens | run_amb
+    lens16 = run_lens | run_amb
+    lens2 = lens16[:, 0::2] | (lens16[:, 1::2] << jnp.uint32(16))
 
+    meta = (hits.astype(jnp.uint32) << jnp.uint32(16)) | n_runs.astype(jnp.uint32)
     return jnp.concatenate(
         [
             run_vals,
-            run_lens,
+            lens2,
             call.astype(jnp.uint32)[:, None],
-            hits.astype(jnp.uint32)[:, None],
             n_kmers.astype(jnp.uint32)[:, None],
-            n_runs.astype(jnp.uint32)[:, None],
+            meta[:, None],
         ],
         axis=1,
     )

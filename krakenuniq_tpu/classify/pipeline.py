@@ -50,7 +50,7 @@ _native = ensure_native()  # None -> pure-Python host path
 
 DEF_WORK_UNIT_SIZE = 500_000  # bp, classify.cpp:38
 _PROFILE = bool(os.environ.get("KRAKENUNIQ_TPU_PROFILE"))
-_CHUNK_BYTES = 8 << 20
+_CHUNK_BYTES = 32 << 20
 
 
 @dataclasses.dataclass
@@ -81,8 +81,8 @@ class ClassifyOptions:
     # keep the entire taxon_counts state on device and fetch it once at the
     # end (fast mode; see classify/device_counters.py for the trade-off)
     device_counters: bool = False
-    device_batch_reads: int = 16384  # units per device dispatch are grouped up to this
-    max_runs: int = 8  # device-side RLE run slots per read (overflow rows re-fetched)
+    device_batch_reads: int = 65536  # units per device dispatch are grouped up to this
+    max_runs: int = 8  # device-side RLE run slots per read (even; overflow rows re-fetched)
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -162,13 +162,15 @@ class Classifier:
             min_hits=self.opts.min_hits,
             with_kmers=self.opts.exact,
             max_runs=(
-                self.opts.max_runs
+                self.opts.max_runs + (self.opts.max_runs & 1)  # even (paired u16 lens)
                 if (_native is not None and self.opts.use_native and not self.opts.exact)
                 else 0
             ),
             lookup_mode="hash" if use_hash else "bsearch",
             hash_lbs=tuple(db.hash_lb for db in self.dbs) if use_hash else (),
         )
+        # the native span path ships bit-packed codes/ambig (5x fewer bytes)
+        self._cfg_packed = dataclasses.replace(self._cfg, packed_input=True)
         self.counter = TaxonCounter(effective_p, exact=self.opts.exact)
         self.dev_counters = None
         if self.opts.device_counters:
@@ -344,14 +346,13 @@ class Classifier:
                 f"reads longer than {opts.max_read_len} bp are not supported yet"
             )
         lb = _bucket_len(max(max_len, self.k), max(128, self.k))
-        # fixed batch height: every span compiles to the same program (a new
-        # shape costs a full XLA compile; padding rows are cheap)
-        b = opts.device_batch_reads if n_span <= opts.device_batch_reads else _bucket(
-            n_span, opts.min_batch_reads
-        )
+        # batch height buckets (powers of two from 1024): tail spans compile
+        # once per bucket but don't pay device time + transfer bytes for a
+        # full-height padded batch -- the link is bandwidth-bound
+        b = _bucket(n_span, 1024)
         offs_c = np.ascontiguousarray(offs)
         t0 = time.time() if _PROFILE else 0
-        codes, ambig_arr, lengths = _native.encode_unit(buf, offs_c, lb, b)
+        codes, ambig_arr, lengths = _native.encode_unit_packed(buf, offs_c, lb, b)
         t1 = time.time() if _PROFILE else 0
         if self.dev_counters is not None:
             # accumulation fused into the classify program: one dispatch,
@@ -370,12 +371,23 @@ class Classifier:
                 ambig_arr,
                 lengths,
                 np.int32(n_span),
-                self._cfg,
+                self._cfg_packed,
                 self.dev_counters.p,
             )
             self.dev_counters.set_state(state)
         else:
-            out = self._device_step(codes, ambig_arr, lengths)
+            out = classify_step(
+                self._db_planes,
+                self._taxid_table,
+                self._tin,
+                self._tout,
+                self._parent,
+                self._root_dense,
+                codes,
+                ambig_arr,
+                lengths,
+                self._cfg_packed,
+            )
         # force the (possibly lazy) transport to start executing and moving
         # the packed matrix now, so the host-side finish of the PREVIOUS span
         # genuinely overlaps this span's device work
@@ -397,13 +409,14 @@ class Classifier:
         opts = self.opts
 
         r = self._cfg.max_runs
+        meta0 = r + r // 2  # compact row: run_vals(R) | lens2(R/2) | meta(3)
         t0 = time.time() if _PROFILE else 0
         packed = np.asarray(out["packed"])[:n_span]
         if _PROFILE:
             sys.stderr.write(f" fetch {1e3*(time.time()-t0):.0f}ms")
-        calls = packed[:, 2 * r].copy()
-        n_kmers = packed[:, 2 * r + 2].astype(np.int32)
-        n_runs = packed[:, 2 * r + 3]
+        calls = packed[:, meta0].copy()
+        n_kmers = packed[:, meta0 + 1].astype(np.int32)
+        n_runs = packed[:, meta0 + 2] & np.uint32(0xFFFF)
 
         if self.uid_map is not None:
             taxa_full = np.asarray(out["taxa"])
@@ -460,7 +473,7 @@ class Classifier:
                 assert len(ov_lines) == len(ov_rows)
             if self.uid_map is not None:
                 packed = packed.copy()
-                packed[:, 2 * r] = calls
+                packed[:, meta0] = calls
             lines = _native.kraken_lines_rle(
                 buf,
                 np.ascontiguousarray(offs_c[:n_span, 0]),

@@ -186,6 +186,59 @@ PyObject* encode_unit(PyObject*, PyObject* args) {
   return Py_BuildValue("(NNN)", codes, ambig, lengths);
 }
 
+/* encode_unit_packed(buffer, offsets int64[n,8], lb, batch) ->
+ *   (codes uint32[batch, lb/16], ambig uint32[batch, lb/32], lengths int32[batch])
+ * Bit-packed device feed: base j of a read occupies bits 2*(j%16) of codes
+ * word j/16 and bit j%32 of ambig word j/32. Padding positions read as
+ * ambiguous (ambig words start all-ones). lb must be a multiple of 32.
+ * Cuts host->device bytes 5x vs encode_unit (2.5 bits/base vs 2 bytes/base),
+ * which matters when the device link is bandwidth-bound. */
+PyObject* encode_unit_packed(PyObject*, PyObject* args) {
+  Py_buffer view;
+  PyArrayObject* offs;
+  long lb, batch;
+  if (!PyArg_ParseTuple(args, "y*O!ll", &view, &PyArray_Type, &offs, &lb, &batch))
+    return nullptr;
+  if (lb % 32 != 0) {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, "lb must be a multiple of 32");
+    return nullptr;
+  }
+  const char* buf = (const char*)view.buf;
+  int64_t nrec = PyArray_DIM(offs, 0);
+  const Record* recs = (const Record*)PyArray_DATA(offs);
+  long lbw = lb / 16, lba = lb / 32;
+
+  npy_intp cdims[2] = {batch, lbw};
+  npy_intp adims[2] = {batch, lba};
+  npy_intp ldims[1] = {batch};
+  PyArrayObject* codes = (PyArrayObject*)PyArray_ZEROS(2, cdims, NPY_UINT32, 0);
+  PyArrayObject* ambig = (PyArrayObject*)PyArray_EMPTY(2, adims, NPY_UINT32, 0);
+  PyArrayObject* lengths = (PyArrayObject*)PyArray_ZEROS(1, ldims, NPY_INT32, 0);
+  if (!codes || !ambig || !lengths) return nullptr;
+  uint32_t* cp = (uint32_t*)PyArray_DATA(codes);
+  uint32_t* ap = (uint32_t*)PyArray_DATA(ambig);
+  int32_t* lp = (int32_t*)PyArray_DATA(lengths);
+  memset(ap, 0xFF, (size_t)(batch * lba) * 4);
+
+  for (int64_t i = 0; i < nrec && i < batch; i++) {
+    int64_t len = recs[i].seq_len;
+    if (len < 0) len = -len;
+    if (len > lb) len = lb;
+    const char* s = buf + recs[i].seq_off;
+    uint32_t* crow = cp + i * lbw;
+    uint32_t* arow = ap + i * lba;
+    for (int64_t j = 0; j < len; j++) {
+      unsigned char ch = (unsigned char)s[j];
+      crow[j >> 4] |= (uint32_t)CODE[ch] << ((j & 15) * 2);
+      if (!AMBIG[ch]) arow[j >> 5] &= ~(1u << (j & 31));
+    }
+    lp[i] = (int32_t)len;
+  }
+  PyBuffer_Release(&view);
+  return Py_BuildValue("(NNN)", codes, ambig, lengths);
+}
+
 /* kraken_lines(ids: bytes (concatenated), id_off int64[n], id_len int64[n],
  *              calls uint32[n], seq_lens int32[n], n_kmers int32[n],
  *              taxa uint32[n, W], ambig uint8(bool)[n, W],
@@ -268,13 +321,15 @@ PyObject* kraken_lines(PyObject*, PyObject* args) {
 
 
 /* kraken_lines_rle(ids: bytes, id_off int64[n], id_len int64[n],
- *                  packed uint32[n, 2R+4], R,
- *                  seq_lens int32[n] (overrides packed? no: lens from caller),
+ *                  packed uint32[n, R + R/2 + 3], R (even),
+ *                  seq_lens int32[n],
  *                  quick, only_classified,
  *                  overflow_idx int64[m], overflow_lines: list[bytes])
- * Row layout of packed: run_vals(R) | run_lens(R, bit31=ambig) | call | hits |
- * n_kmers | n_runs.  Overflow rows (n_runs > R) take their pre-rendered line
- * from overflow_lines (matched by position in overflow_idx). */
+ * Compact row layout (60B/read at R=8, sized for a bandwidth-bound device
+ * link): run_vals(R u32) | lens2(R/2 u32: two u16 per word, lo half = even
+ * run; each u16 = run_len(15 bits) | ambig<<15) | call | n_kmers |
+ * (hits<<16 | n_runs).  Overflow rows (n_runs > R) take their pre-rendered
+ * line from overflow_lines (matched by position in overflow_idx). */
 PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
   Py_buffer ids;
   PyArrayObject *id_off, *id_len, *packed, *seq_lens, *ov_idx;
@@ -300,12 +355,13 @@ PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
   std::string out;
   out.reserve((size_t)n * 48);
   char tmp[64];
+  const long META = R + R / 2;
   for (int64_t i = 0; i < n; i++) {
     const uint32_t* row = pk + i * stride;
-    uint32_t call = row[2 * R];
-    uint32_t hits = row[2 * R + 1];
-    uint32_t n_kmers = row[2 * R + 2];
-    uint32_t n_runs = row[2 * R + 3];
+    uint32_t call = row[META];
+    uint32_t n_kmers = row[META + 1];
+    uint32_t hits = row[META + 2] >> 16;
+    uint32_t n_runs = row[META + 2] & 0xFFFFu;
     if (ov_pos < n_ov && ovp[ov_pos] == i) {
       // pre-rendered overflow line (consume it even when suppressed below)
       PyObject* line = PyList_GetItem(ov_lines, (Py_ssize_t)ov_pos);
@@ -328,9 +384,9 @@ PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
     } else {
       for (uint32_t j = 0; j < n_runs && (long)j < R; j++) {
         uint32_t v = row[j];
-        uint32_t lw = row[R + j];
-        uint32_t amb = lw >> 31;
-        uint32_t l = lw & 0x7FFFFFFFu;
+        uint32_t lw = (row[R + j / 2] >> ((j & 1) * 16)) & 0xFFFFu;
+        uint32_t amb = lw >> 15;
+        uint32_t l = lw & 0x7FFFu;
         if (j) out += ' ';
         if (amb)
           len = snprintf(tmp, sizeof(tmp), "A:%u", l);
@@ -348,6 +404,8 @@ PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
 PyMethodDef methods[] = {
     {"parse_unit", parse_unit, METH_VARARGS, "Parse a FASTA/FASTQ work unit"},
     {"encode_unit", encode_unit, METH_VARARGS, "2-bit encode parsed records"},
+    {"encode_unit_packed", encode_unit_packed, METH_VARARGS,
+     "bit-packed (2.5 bits/base) encode of parsed records"},
     {"kraken_lines", kraken_lines, METH_VARARGS, "Format kraken output lines"},
     {"kraken_lines_rle", kraken_lines_rle, METH_VARARGS,
      "Format kraken output lines from device RLE runs"},
@@ -364,5 +422,7 @@ PyModuleDef moduledef = {
 PyMODINIT_FUNC PyInit_kuniq_native(void) {
   import_array();
   init_tables();
-  return PyModule_Create(&moduledef);
+  PyObject* mod = PyModule_Create(&moduledef);
+  if (mod) PyModule_AddIntConstant(mod, "API_VERSION", 2);
+  return mod;
 }

@@ -96,3 +96,26 @@ def test_parser_truncated_inputs():
                             (offs[i, 4], abs(offs[i, 5])), (offs[i, 6], offs[i, 7])):
                 assert 0 <= off <= len(buf)
                 assert 0 <= off + ln <= len(buf), (buf, i)
+
+
+def test_encode_unit_packed_matches_unpacked():
+    """encode_unit_packed + device unpack == encode_unit byte-for-byte,
+    including ambiguous bases, lowercase, and padding lanes."""
+    import jax
+
+    from krakenuniq_tpu.classify.device_step import unpack_input
+
+    nv = plmod._native
+    buf = b">r1\nACGTNacgtNNRYKM\n>r2\nTTTT\n>r3\n" + b"ACGTA" * 40 + b"\n"
+    n, offs, multi = nv.parse_unit(buf, False)
+    assert n == 3 and not multi
+    lb, batch = 224, 8
+    codes, ambig, lengths = nv.encode_unit(buf, offs, lb, batch)
+    pc, pa, plen = nv.encode_unit_packed(buf, offs, lb, batch)
+    assert pc.shape == (batch, lb // 16) and pa.shape == (batch, lb // 32)
+    np.testing.assert_array_equal(lengths, plen)
+    ucodes, uambig = jax.jit(unpack_input)(pc, pa)
+    np.testing.assert_array_equal(np.asarray(ucodes), codes)
+    np.testing.assert_array_equal(np.asarray(uambig), ambig)
+    with pytest.raises(ValueError):
+        nv.encode_unit_packed(buf, offs, 100, batch)  # lb % 32 != 0
