@@ -44,16 +44,23 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", 10))
 
     cache = os.path.expanduser(
-        f"~/.cache/kuniq_bench_db_{n_species}_{genome_len}_{k}_{nt}_v2.npz"
+        f"~/.cache/kuniq_bench_db_{n_species}_{genome_len}_{k}_{nt}_v3.npz"
     )
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     cached_hash = None
+    loaded = False
     if os.path.exists(cache):
-        z = np.load(cache, allow_pickle=True)
-        keys, vals, offsets = z["keys"], z["vals"], z["offsets"]
-        genomes = z["genomes"].item()
-        if "htags" in z:
-            cached_hash = (z["htags"], z["hvals"], int(z["hash_lb"]))
+        try:
+            z = np.load(cache, allow_pickle=True)
+            keys, vals, offsets = z["keys"], z["vals"], z["offsets"]
+            genomes = z["genomes"].item()
+            if "ptags" in z:
+                cached_hash = (z["ptags"], z["confirm"], int(z["hash_lb"]))
+            loaded = True
+        except Exception as e:  # truncated by an interrupted save
+            print(f"bench db cache unreadable ({e}); rebuilding", file=sys.stderr)
+            os.unlink(cache)
+    if loaded:
         from krakenuniq_tpu.utils.demo import make_demo_taxonomy
 
         tax, _ = make_demo_taxonomy(n_species)
@@ -74,19 +81,20 @@ def main():
     max_bin = int(np.diff(offsets).max())
     t_ht = time.time()
     if cached_hash is not None:
-        htags, hvals, hash_lb = cached_hash
+        ptags, confirm, hash_lb = cached_hash
         print("hash table loaded from cache", file=sys.stderr)
     else:
         from krakenuniq_tpu.db.hash_table import build_hash_table
 
-        (htags, hvals), hash_lb = build_hash_table(keys, vals, vals_dense)
-        htags, hvals = np.asarray(htags), np.asarray(hvals)
+        (ptags, confirm), hash_lb = build_hash_table(keys, vals, vals_dense)
+        ptags, confirm = np.asarray(ptags), np.asarray(confirm)
         np.savez_compressed(
-            cache, keys=keys, vals=vals, offsets=offsets,
+            cache + ".tmp.npz", keys=keys, vals=vals, offsets=offsets,
             genomes=np.array(genomes, dtype=object),
-            htags=htags, hvals=hvals, hash_lb=np.int64(hash_lb),
+            ptags=ptags, confirm=confirm, hash_lb=np.int64(hash_lb),
         )
-        print(f"hash table: {(htags.nbytes + hvals.nbytes)/1e6:.0f}MB, lb={hash_lb}, "
+        os.replace(cache + ".tmp.npz", cache)  # atomic: survives interrupts
+        print(f"hash table: {(ptags.nbytes + confirm.nbytes)/1e6:.0f}MB, lb={hash_lb}, "
               f"built in {time.time()-t_ht:.1f}s", file=sys.stderr)
     cfg = StepConfig(
         k=k,
@@ -97,7 +105,7 @@ def main():
         hash_lbs=(hash_lb,),
     )
     root = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
-    planes = ((jax.device_put(htags), jax.device_put(hvals)),)
+    planes = ((jax.device_put(ptags), jax.device_put(confirm)),)
     taxid_table = jax.device_put(tax.taxids.astype(np.uint32))
     targs = tuple(jax.device_put(x) for x in (tax.tin, tax.tout, tax.parent))
     codes = jax.device_put(enc.codes)

@@ -133,9 +133,9 @@ def classify_step_core(
     for db_i, plane in enumerate(db_planes):
         remaining = search & (taxon == 0)
         if cfg.lookup_mode == "hash":
-            tags, tvals = plane
+            ptags, confirm = plane
             t_i, td_i = hash_lookup_kmers(
-                tags, tvals, hashes, remaining, cfg.hash_lbs[db_i]
+                ptags, confirm, hashes, remaining, cfg.hash_lbs[db_i]
             )
         else:
             keys, vals, vals_dense, offsets, bin_start = plane

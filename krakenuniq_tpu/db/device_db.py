@@ -41,7 +41,7 @@ class DeviceDB:
     bin_start: int = 0  # first minimizer bin owned by this shard
     key_start: int = 0  # global pair index of keys[0]
     # bucketed hash table (db/hash_table.py); the default device lookup path
-    hash_table: tuple | None = None  # (tags, vals) uint64 [n_buckets, 4] each
+    hash_table: tuple | None = None  # (ptags u32 [nb,4], confirm u32 [nb*4,4])
     hash_lb: int = 0
 
     @property
@@ -88,13 +88,13 @@ def build_device_db(
         vals_dense = np.zeros(len(vals), dtype=np.int32)
     htable, hlb = (None, 0)
     if use_hash:
-        (tags, tvals), hlb = build_hash_table(
+        (ptags, confirm), hlb = build_hash_table(
             np.ascontiguousarray(keys, dtype=np.uint64),
             np.ascontiguousarray(vals, dtype=np.uint32),
             np.ascontiguousarray(vals_dense, dtype=np.int32),
         )
         put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
-        htable = (put(tags), put(tvals))
+        htable = (put(ptags), put(confirm))
     dk, dv, dvd, doff = _device_put_planes(
         np.ascontiguousarray(keys, dtype=np.uint64),
         np.ascontiguousarray(vals, dtype=np.uint32),

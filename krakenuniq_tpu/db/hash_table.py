@@ -1,32 +1,43 @@
 """Bucketed two-choice hash table for the device k-mer lookup.
 
-Motivation (measured on TPU v5e): XLA's row-gather has a fast path when the
-gathered row is at most 4 elements wide (~4 ns/row for a 4 x uint64 row) and
-a ~3x cliff above that, with cost per INDEX nearly independent of total
-bytes. The table is therefore stored as two narrow planes of 4-slot buckets:
+Motivation (measured on TPU v5e): XLA's row-gather cost is ~linear in the
+row BYTES fetched (~0.37 ns/B, ~6 ns for a 16B row) and only weakly in the
+index count, so the layout minimizes bytes touched per query. The table is
+two u32 planes probed in two levels:
 
-  tags: uint64 [n_buckets, 4]   murmur3_finalizer(key) per slot
-  vals: uint64 [n_buckets, 4]   vals_dense << 32 | val (original taxid)
+  ptags:   uint32 [n_buckets, 4]   partial tag per slot (screen)
+  confirm: uint32 [n_buckets * 4, 4]  (hash_lo, hash_hi, taxid, dense) per slot
 
-The murmur3 finalizer is a BIJECTION on uint64, so storing the mixed hash
-instead of the key loses nothing: tag equality <=> key equality. Empty slots
-hold tag 0 / value 0, which is exact without a reserved sentinel: a query
-whose hash collides with an empty tag reads value 0, i.e. taxon 0 --
-indistinguishable from a database miss, which is also how the reference
-treats stored zero values (classify.cpp:939 counts them under taxon 0).
+A query gathers its two candidate buckets' ptag rows (2 x 16B), picks the
+first matching slot, then gathers that slot's confirm row (16B) and accepts
+only on a full 64-bit hash match -- 48B/query, 2.7x fewer than a
+4-slot-u64-planes design and ~3x faster end to end.
 
-Every key has two candidate buckets derived from h = murmur3_finalizer(key)
-(the same bit mixer the HLL path computes anyway):
+Keys are addressed by h = murmur3_finalizer(key) (a BIJECTION on uint64, so
+storing/comparing mixed hashes loses nothing; the HLL path computes the same
+h anyway). Every key has two candidate buckets
     b1 = h >> (64 - lb)        b2 = (h * GOLDEN) >> (64 - lb)
-Two-choice placement keeps the max bucket load near the average; the build
-rebalances overfull buckets by flipping keys to their alternate bucket and
-grows the table in the (rare) case that fails.
+and its stored partial tag is bits [lb, lb+32) of h (if placed in b1) or of
+h * GOLDEN (if placed in b2) -- the bits just below the bucket index of the
+respective probe value, so a probe compares like against like. Two-choice
+placement keeps the max bucket load near the average; the build rebalances
+overfull buckets by flipping keys to their alternate bucket and grows the
+table in the (rare) case that fails.
+
+Exactness: the confirm step makes false positives impossible -- a query
+returns a value only when the full 64-bit hash matches. False NEGATIVES
+(the screen picking a decoy slot whose partial tag collides, hiding the
+real slot behind it) are possible in principle with ~2^-32 probability per
+resident key; `build_hash_table` therefore runs a self-validation lookup of
+every key after placement and rebuilds at a larger size in the
+(astronomically rare) failure case. Keys whose partial tag is 0 are pinned
+to their first-choice bucket so they are found ahead of empty slots (which
+read as ptag 0 / confirm zeros; a zero confirm row rejects every query
+except h == 0, for which it correctly reports taxon 0 = miss).
 
 The build itself runs ON DEVICE (sort + scan + scatter): constructing the
 table for millions of keys takes tens of milliseconds, where the same
-algorithm in host numpy takes minutes on a weak host. The device lookup
-probes both candidate buckets' tags and then fetches ONE value row: three
-narrow row-gathers per query batch, independent of database size.
+algorithm in host numpy takes minutes on a weak host.
 """
 
 from __future__ import annotations
@@ -48,6 +59,12 @@ def bucket_ids(h, lb: int):
     """Host/device-agnostic candidate bucket ids."""
     shift = np.uint64(64 - lb)
     return (h >> shift).astype(np.int64), ((h * GOLDEN) >> shift).astype(np.int64)
+
+
+def partial_tags(h, lb: int):
+    """Bits [lb, lb+32) of the probe value: the screen tag for a bucket
+    derived from h's top lb bits."""
+    return ((h << np.uint64(lb)) >> np.uint64(32)).astype(jnp.uint32)
 
 
 def _group_rank(sa, iota):
@@ -75,10 +92,10 @@ def _rebalance_iter(assign, hashes, lb: int, it):
     shift = jnp.uint64(64 - lb)
     b1 = (hashes >> shift).astype(jnp.int32)
     b2 = ((hashes * GOLDEN) >> shift).astype(jnp.int32)
-    # a key whose hash IS the empty tag (0) must stay in its first-choice
-    # bucket: a query for it matches bucket 1's empty slots, so the value
-    # must be found there (empty slots contribute 0 to the selected sum)
-    pinned = hashes == EMPTY_TAG
+    # a key whose first-choice partial tag is 0 must stay in its first-choice
+    # bucket: empty slots also read as ptag 0, and the screen must find the
+    # real slot (keys pack before empties) rather than fail over to bucket 2
+    pinned = partial_tags(hashes, lb) == 0
     iota = jnp.arange(n, dtype=jnp.int32)
     rot = (it % 53).astype(jnp.uint64)
     scram = ((hashes >> rot) ^ hashes).astype(jnp.uint32)
@@ -98,6 +115,7 @@ def _rebalance_iter(assign, hashes, lb: int, it):
 
 @functools.partial(jax.jit, static_argnames=("lb",))
 def _finalize_table(assign, hashes, packed, lb: int):
+    """Scatter placed keys into the (ptags, confirm) planes."""
     n = hashes.shape[0]
     nb = 1 << lb
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -108,18 +126,38 @@ def _finalize_table(assign, hashes, packed, lb: int):
     rows = sa.astype(jnp.int64)
     cols = jnp.minimum(rank, BUCKET_SLOTS - 1).astype(jnp.int64)
     flat_idx = rows * BUCKET_SLOTS + cols
-    tags = jnp.zeros(nb * BUCKET_SLOTS, jnp.uint64).at[flat_idx].set(
-        jnp.take(hashes, order)
+
+    h_s = jnp.take(hashes, order)
+    p_s = jnp.take(packed, order)
+    b1_s = (h_s >> jnp.uint64(64 - lb)).astype(jnp.int64)
+    # stored tag matches the probe value of the choice that placed the key
+    hc = jnp.where(rows == b1_s, h_s, h_s * GOLDEN)
+    ptag_s = partial_tags(hc, lb)
+
+    ptags = jnp.zeros(nb * BUCKET_SLOTS, jnp.uint32).at[flat_idx].set(ptag_s)
+    mask32 = jnp.uint64(0xFFFFFFFF)
+    confirm = (
+        jnp.zeros((nb * BUCKET_SLOTS, 4), jnp.uint32)
+        .at[flat_idx, 0].set((h_s & mask32).astype(jnp.uint32))
+        .at[flat_idx, 1].set((h_s >> jnp.uint64(32)).astype(jnp.uint32))
+        .at[flat_idx, 2].set((p_s & mask32).astype(jnp.uint32))
+        .at[flat_idx, 3].set((p_s >> jnp.uint64(32)).astype(jnp.uint32))
     )
-    vals = jnp.zeros(nb * BUCKET_SLOTS, jnp.uint64).at[flat_idx].set(
-        jnp.take(packed, order)
-    )
-    return tags.reshape(nb, BUCKET_SLOTS), vals.reshape(nb, BUCKET_SLOTS), overflow
+    return ptags.reshape(nb, BUCKET_SLOTS), confirm, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("lb",))
+def _self_check(ptags, confirm, hashes, packed, lb: int):
+    """Count keys the probe fails to find (must be 0 for an exact table)."""
+    from ..lookup.hash_lookup import probe_values
+
+    got = probe_values(ptags, confirm, hashes, lb)
+    return jnp.sum((got != packed).astype(jnp.int32))
 
 
 def _build_attempt(hashes, packed, lb: int, max_iters: int = 48):
     """Placement attempt at a fixed table size via an iterated two-choice
-    random walk; returns (tags, vals, overflow_count)."""
+    random walk; returns (ptags, confirm, overflow_count)."""
     shift = np.uint64(64 - lb)
     assign = (np.asarray(hashes) >> shift).astype(np.int32)
     assign = jax.device_put(assign)
@@ -137,12 +175,14 @@ def build_hash_table(
     vals: np.ndarray,
     vals_dense: np.ndarray,
     load_factor: float = 0.5,
+    force_lb: int | None = None,
 ):
-    """Returns ((tags, vals) DEVICE arrays uint64 [n_buckets, 4], lb).
+    """Returns ((ptags, confirm) DEVICE planes, lb); see module docstring.
 
     load_factor = keys / slots; two-choice 4-slot buckets place reliably at
-    0.5 within a few dozen sweeps. If placement fails the table is grown
-    (at most twice) before giving up."""
+    0.5 within a few dozen sweeps. If placement or the exactness
+    self-validation fails, the table is grown (at most twice) before giving
+    up. force_lb pins the size (used to stack uniformly-sized shard tables)."""
     n = len(keys)
     hashes = murmur3_finalizer(np.ascontiguousarray(keys, dtype=np.uint64))
     dhashes = jax.device_put(hashes)
@@ -150,11 +190,19 @@ def build_hash_table(
         vals, dtype=np.uint64
     )
     dpacked = jax.device_put(packed)
-    lb = max(4, int(np.ceil(np.log2(max(n, 1) / (BUCKET_SLOTS * load_factor)))))
-    for _ in range(3):
-        tags, tvals, overflow = _build_attempt(dhashes, dpacked, lb)
-        if int(overflow) == 0:
-            return (tags, tvals), lb
+    if force_lb is not None:
+        lb = force_lb
+        attempts = 1
+    else:
+        lb = max(4, int(np.ceil(np.log2(max(n, 1) / (BUCKET_SLOTS * load_factor)))))
+        attempts = 3
+    if lb > 29:
+        # flat confirm index must fit int32; tables this large exceed HBM anyway
+        raise ValueError(f"hash table of 2^{lb} buckets is not supported")
+    for _ in range(attempts):
+        ptags, confirm, overflow = _build_attempt(dhashes, dpacked, lb)
+        if int(overflow) == 0 and int(_self_check(ptags, confirm, dhashes, dpacked, lb)) == 0:
+            return (ptags, confirm), lb
         lb += 1
     raise RuntimeError(
         f"hash table placement failed for {n} keys even at 2^{lb - 1} buckets"

@@ -1,9 +1,13 @@
-"""Device-side hash-table k-mer lookup: three narrow row-gathers per batch.
+"""Device-side hash-table k-mer lookup: three narrow u32 row-gathers.
 
-See db/hash_table.py for the two-plane (tags, vals) layout and why 4-wide
-uint64 rows hit XLA's fast gather path. The query's murmur hash doubles as
-the comparison tag (the finalizer is bijective), so the canonical k-mers
-themselves never need to be fetched or compared.
+See db/hash_table.py for the two-level (ptags, confirm) layout. Measured on
+TPU v5e, XLA's random row-gather costs ~0.37 ns per BYTE fetched, so the
+probe touches 48B/query: two 16B partial-tag rows (the two candidate
+buckets), then the 16B confirm row (full 64-bit hash + taxid + dense taxid)
+of the first screened slot. The full-hash compare makes the result exact;
+the build guarantees the first screened slot is the right one for every
+resident key (self-validated). The query's murmur hash doubles as the probe
+value, so canonical k-mers never need to be fetched or compared.
 """
 
 from __future__ import annotations
@@ -14,46 +18,59 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..db.hash_table import GOLDEN
+from ..db.hash_table import BUCKET_SLOTS, GOLDEN
+
+
+def _probe_rows(ptags, confirm, h, lb: int):
+    """Shared probe: returns (found, confirm_row[ N,4 ])."""
+    shift = np.uint64(64 - lb)
+    hg = h * GOLDEN
+    r1 = (h >> shift).astype(jnp.int32)
+    r2 = (hg >> shift).astype(jnp.int32)
+    p1 = ((h << np.uint64(lb)) >> np.uint64(32)).astype(jnp.uint32)
+    p2 = ((hg << np.uint64(lb)) >> np.uint64(32)).astype(jnp.uint32)
+    t1 = jnp.take(ptags, r1, axis=0)
+    t2 = jnp.take(ptags, r2, axis=0)
+    eq1 = t1 == p1[:, None]
+    # when both choices land on the same bucket, keys there are stored with
+    # their first-choice tag; only the first-choice compare applies
+    eq2 = (t2 == p2[:, None]) & (r1 != r2)[:, None]
+    has1 = jnp.any(eq1, axis=1)
+    has2 = jnp.any(eq2, axis=1)
+    c1 = jnp.argmax(eq1, axis=1).astype(jnp.int32)
+    c2 = jnp.argmax(eq2, axis=1).astype(jnp.int32)
+    flat = jnp.where(
+        has1, r1 * BUCKET_SLOTS + c1, r2 * BUCKET_SLOTS + c2
+    )
+    crow = jnp.take(confirm, flat, axis=0)
+    ok = (
+        (has1 | has2)
+        & (crow[:, 0] == (h & np.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+        & (crow[:, 1] == (h >> np.uint64(32)).astype(jnp.uint32))
+    )
+    return ok, crow
+
+
+def probe_values(ptags, confirm, hashes, lb: int):
+    """Raw probe for the build-time self check: uint64 dense<<32|taxid per
+    hash, 0 on miss."""
+    ok, crow = _probe_rows(ptags, confirm, hashes.reshape(-1), lb)
+    val = crow[:, 2].astype(jnp.uint64) | (crow[:, 3].astype(jnp.uint64) << jnp.uint64(32))
+    return jnp.where(ok, val, jnp.uint64(0)).reshape(hashes.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("lb",))
 def hash_lookup_kmers(
-    tags: jax.Array,  # uint64 [n_buckets, 4]
-    vals: jax.Array,  # uint64 [n_buckets, 4]
+    ptags: jax.Array,  # uint32 [n_buckets, 4]
+    confirm: jax.Array,  # uint32 [n_buckets * 4, 4]
     hashes: jax.Array,  # uint64 [...] murmur3_finalizer(canonical k-mer)
     valid: jax.Array,  # bool [...]
     lb: int,
 ):
     """Returns (taxon uint32, taxon_dense int32); 0 where missing/invalid."""
     shape = hashes.shape
-    h = hashes.reshape(-1)
-    v = valid.reshape(-1)
-
-    shift = np.uint64(64 - lb)
-    rows1 = (h >> shift).astype(jnp.int32)
-    rows2 = ((h * GOLDEN) >> shift).astype(jnp.int32)
-    # all four row-gathers are mutually independent so the hardware can
-    # overlap them (measured: a dependent gather chain runs at its ~30ms
-    # latency per link, independent gathers at ~8ms throughput); a key is
-    # stored in exactly one bucket, so summing both buckets' masked values
-    # is exact (the non-matching bucket contributes zeros)
-    eq1 = jnp.take(tags, rows1, axis=0) == h[:, None]
-    eq2 = jnp.take(tags, rows2, axis=0) == h[:, None]
-    vrow1 = jnp.take(vals, rows1, axis=0)
-    vrow2 = jnp.take(vals, rows2, axis=0)
-    hit1 = jnp.any(eq1, axis=1)
-    hit2 = jnp.any(eq2, axis=1)
-    # when both choices land on the same bucket the two gathers see the same
-    # slots -- count the second one only when the buckets differ
-    dup = rows1 == rows2
-    value = jnp.sum(jnp.where(eq1, vrow1, jnp.uint64(0)), axis=1) + jnp.where(
-        dup,
-        jnp.uint64(0),
-        jnp.sum(jnp.where(eq2, vrow2, jnp.uint64(0)), axis=1),
-    )
-
-    hit = (hit1 | hit2) & v
-    taxon = jnp.where(hit, value & jnp.uint64(0xFFFFFFFF), 0).astype(jnp.uint32)
-    taxon_dense = jnp.where(hit, value >> jnp.uint64(32), 0).astype(jnp.int32)
+    ok, crow = _probe_rows(ptags, confirm, hashes.reshape(-1), lb)
+    ok = ok & valid.reshape(-1)
+    taxon = jnp.where(ok, crow[:, 2], 0).astype(jnp.uint32)
+    taxon_dense = jnp.where(ok, crow[:, 3], 0).astype(jnp.int32)
     return taxon.reshape(shape), taxon_dense.reshape(shape)

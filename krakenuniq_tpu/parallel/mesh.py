@@ -65,8 +65,8 @@ def make_sharded_classify_fn(
 
     if hash_mode:
         dev_planes = (
-            jax.device_put(planes.tags, db_sharding3),
-            jax.device_put(planes.vals, db_sharding3),
+            jax.device_put(planes.ptags, db_sharding3),
+            jax.device_put(planes.confirm, db_sharding3),
         )
     else:
         dev_planes = (
@@ -83,8 +83,8 @@ def make_sharded_classify_fn(
 
     if hash_mode:
 
-        def core(tags, vals, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
-            db_planes = ((tags[0], vals[0]),)
+        def core(ptags, confirm, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
+            db_planes = ((ptags[0], confirm[0]),)
             return classify_step_core(
                 db_planes, taxid_table, tin, tout, parent, root, codes, ambig, lengths, cfg
             )

@@ -87,16 +87,16 @@ def shard_db_planes(
 
 @dataclasses.dataclass
 class ShardedHashPlanes:
-    """Stacked per-shard two-choice hash tables (db/hash_table.py layout)."""
+    """Stacked per-shard two-level hash tables (db/hash_table.py layout)."""
 
-    tags: object  # uint64 [S, n_buckets, 4] (device array)
-    vals: object  # uint64 [S, n_buckets, 4] (device array)
+    ptags: object  # uint32 [S, n_buckets, 4] (device array)
+    confirm: object  # uint32 [S, n_buckets * 4, 4] (device array)
     lb: int
     bounds: list  # minimizer-bin ranges per shard (for bookkeeping)
 
     @property
     def n_shards(self) -> int:
-        return self.tags.shape[0]
+        return self.ptags.shape[0]
 
 
 def shard_hash_tables(
@@ -108,11 +108,9 @@ def shard_hash_tables(
 ) -> ShardedHashPlanes:
     """Partition keys by minimizer range (same invariant as the bsearch
     shards) and build one hash table per shard, padded to a common size."""
-    import jax
     import jax.numpy as jnp
 
-    from ..db.hash_table import _build_attempt, build_hash_table
-    from ..utils.bits import murmur3_finalizer
+    from ..db.hash_table import build_hash_table
 
     bounds = partition_bins_equal_keys(offsets, n_shards)
     offsets = np.asarray(offsets, dtype=np.int64)
@@ -129,24 +127,12 @@ def shard_hash_tables(
             if tlb == lb:
                 continue
             klo, khi = int(offsets[lo]), int(offsets[hi])
-            packed = (
-                np.asarray(vals_dense[klo:khi], dtype=np.uint64) << np.uint64(32)
-            ) | np.asarray(vals[klo:khi], dtype=np.uint64)
-            tags_i, vals_i, ov = _build_attempt(
-                jax.device_put(
-                    murmur3_finalizer(
-                        np.ascontiguousarray(keys[klo:khi], dtype=np.uint64)
-                    )
-                ),
-                jax.device_put(packed),
-                lb,
+            tables[i], _ = build_hash_table(
+                keys[klo:khi], vals[klo:khi], vals_dense[klo:khi], force_lb=lb
             )
-            if int(ov) != 0:
-                raise AssertionError("hash shard overflow at forced table size")
-            tables[i] = (tags_i, vals_i)
     return ShardedHashPlanes(
-        tags=jnp.stack([t[0] for t in tables]),
-        vals=jnp.stack([t[1] for t in tables]),
+        ptags=jnp.stack([t[0] for t in tables]),
+        confirm=jnp.stack([t[1] for t in tables]),
         lb=lb,
         bounds=bounds,
     )

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from krakenuniq_tpu.db.hash_table import build_hash_table, BUCKET_SLOTS, EMPTY_TAG
+from krakenuniq_tpu.db.hash_table import build_hash_table, BUCKET_SLOTS
 from krakenuniq_tpu.lookup.hash_lookup import hash_lookup_kmers
 from krakenuniq_tpu.utils.bits import murmur3_finalizer
 
@@ -13,10 +13,11 @@ def test_build_and_lookup(rng, n):
     keys = np.unique(rng.integers(0, 1 << 62, size=n, dtype=np.uint64))
     vals = rng.integers(1, 1 << 31, size=len(keys), dtype=np.uint32)
     vals_dense = rng.integers(1, 1 << 20, size=len(keys)).astype(np.int32)
-    (tags, tvals), lb = build_hash_table(keys, vals, vals_dense)
-    # every key's tag (murmur hash) is stored exactly once
-    flat = np.asarray(tags).ravel()
-    stored = np.sort(flat[flat != EMPTY_TAG])
+    (ptags, confirm), lb = build_hash_table(keys, vals, vals_dense)
+    # every key's full hash is stored exactly once in the confirm plane
+    confirm = np.asarray(confirm)
+    full = confirm[:, 0].astype(np.uint64) | (confirm[:, 1].astype(np.uint64) << np.uint64(32))
+    stored = np.sort(full[full != 0])
     np.testing.assert_array_equal(stored, np.sort(murmur3_finalizer(keys)))
 
     # queries: all keys + misses
@@ -24,7 +25,7 @@ def test_build_and_lookup(rng, n):
     misses = misses[~np.isin(misses, keys)]
     q = np.concatenate([keys, misses])
     t, td = hash_lookup_kmers(
-        tags, tvals, murmur3_finalizer(q), np.ones(len(q), bool), lb
+        ptags, confirm, murmur3_finalizer(q), np.ones(len(q), bool), lb
     )
     t, td = np.asarray(t), np.asarray(td)
     np.testing.assert_array_equal(t[: len(keys)], vals)
@@ -32,7 +33,7 @@ def test_build_and_lookup(rng, n):
     assert (t[len(keys):] == 0).all()
     # invalid lanes return 0
     t2, _ = hash_lookup_kmers(
-        tags, tvals, murmur3_finalizer(q[: len(keys)]),
+        ptags, confirm, murmur3_finalizer(q[: len(keys)]),
         np.zeros(len(keys), bool), lb,
     )
     assert (np.asarray(t2) == 0).all()
@@ -65,10 +66,10 @@ def test_zero_hash_key_is_exact(rng):
     )
     vals = np.arange(1, len(keys) + 1, dtype=np.uint32)
     vd = np.arange(1, len(keys) + 1, dtype=np.int32)
-    (tags, tvals), lb = build_hash_table(keys, vals, vd)
+    (ptags, confirm), lb = build_hash_table(keys, vals, vd)
     pos = int(np.searchsorted(keys, k0))
     t, td = hash_lookup_kmers(
-        tags, tvals, murmur3_finalizer(np.asarray([k0])), np.ones(1, bool), lb
+        ptags, confirm, murmur3_finalizer(np.asarray([k0])), np.ones(1, bool), lb
     )
     assert int(np.asarray(t)[0]) == int(vals[pos])
     assert int(np.asarray(td)[0]) == int(vd[pos])
@@ -95,7 +96,7 @@ def test_matches_bsearch_on_golden():
         db.search_iters, 0,
     )
     h = murmur3_finalizer(np.asarray(canon))
-    tags, tvals = db.hash_table
-    t2, td2 = hash_lookup_kmers(tags, tvals, h, valid, db.hash_lb)
+    ptags, confirm = db.hash_table
+    t2, td2 = hash_lookup_kmers(ptags, confirm, h, valid, db.hash_lb)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(td1), np.asarray(td2))
