@@ -33,7 +33,9 @@ _cache_dir = _os.environ.get(
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # threshold 0: through remote-compile transports even sub-second compiles
+    # cost ~0.4s each; the report path alone has a dozen small programs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:  # cache is an optimization only
     pass
 

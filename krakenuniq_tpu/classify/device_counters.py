@@ -124,7 +124,19 @@ class DeviceCounters:
         kmer_counts = np.asarray(self.kmer_counts)
         read_counts = np.asarray(self.read_counts)
         active = np.flatnonzero((kmer_counts > 0) | (read_counts > 0))
-        regs = np.asarray(self.reg[active]) if len(active) else np.zeros((0, self.m), np.uint8)
+        if not len(active):
+            regs = np.zeros((0, self.m), np.uint8)
+        elif self.n_taxa * self.m <= (64 << 20):
+            # one bulk transfer beats compiling a fresh gather program whose
+            # shape depends on len(active)
+            regs = np.asarray(self.reg)[active]
+        else:
+            # big register plane: device-gather just the active rows, with the
+            # index count padded to a power of two so the program is reused
+            pad = 1 << int(np.ceil(np.log2(len(active))))
+            idx = np.zeros(pad, np.int32)
+            idx[: len(active)] = active
+            regs = np.asarray(jnp.take(self.reg, jnp.asarray(idx), axis=0))[: len(active)]
         out: dict[int, ReadCounts] = {}
         for row, dense in enumerate(active.tolist()):
             h = HLL(self.p, sparse=False)

@@ -769,15 +769,14 @@ class Classifier:
     def ensure_counts_files(self) -> None:
         """Generate <db>.kdb.counts once per DB and feed genome sizes into the
         taxonomy (classify.cpp:260-285). The histogram over the DB value
-        column runs on device (the values are already resident)."""
-        import jax.numpy as jnp
-
+        column runs on host: one bulk fetch of the (already-resident) dense
+        values beats compiling a one-off device bincount program."""
         for i, d in enumerate(self.db_dirs):
             path = os.path.join(d, "database.kdb") + ".counts"  # "<kdb path>.counts"
             if not (os.path.exists(path) and os.path.getsize(path) > 0):
                 db = self.dbs[i]
-                hist = np.asarray(
-                    jnp.bincount(db.vals_dense, length=self.taxonomy.size)
+                hist = np.bincount(
+                    np.asarray(db.vals_dense), minlength=self.taxonomy.size
                 )
                 active = np.flatnonzero(hist)
                 counts = {
