@@ -142,7 +142,10 @@ def main():
     from krakenuniq_tpu.classify import Classifier, ClassifyOptions
     from krakenuniq_tpu.build.db_build import build_database  # noqa: F401 (import check)
 
-    n_bench_reads = int(os.environ.get("BENCH_PIPELINE_READS", 200_000))
+    # 1M reads: long enough that per-process warmup (first-span transfer
+    # ramp, executable loads) amortizes the way it does on the reference's
+    # 9.4M-read benchmark workload
+    n_bench_reads = int(os.environ.get("BENCH_PIPELINE_READS", 1_000_000))
     with tempfile.TemporaryDirectory() as td:
         # write DB dir + reads file
         from krakenuniq_tpu.formats import write_kdb, write_index
@@ -153,11 +156,18 @@ def main():
         reads_path = os.path.join(td, "bench_reads.fa")
         rng = np.random.default_rng(3)
         sids = list(genomes)
+        gsel = rng.integers(len(sids), size=n_bench_reads)
+        starts = rng.integers(0, genome_len - read_len, size=n_bench_reads)
         with open(reads_path, "w") as f:
+            chunk = []
             for i in range(n_bench_reads):
-                g = genomes[sids[int(rng.integers(len(sids)))]]
-                start = int(rng.integers(0, len(g) - read_len))
-                f.write(f">r{i}\n{g[start:start+read_len]}\n")
+                g = genomes[sids[gsel[i]]]
+                s = starts[i]
+                chunk.append(f">r{i}\n{g[s:s+read_len]}\n")
+                if len(chunk) == 65536:
+                    f.write("".join(chunk))
+                    chunk = []
+            f.write("".join(chunk))
 
         dt_pipe = None
         for attempt in range(2):  # second pass runs with warm compile caches

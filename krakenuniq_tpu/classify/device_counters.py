@@ -40,23 +40,12 @@ def update_core(
     gathers)."""
     t = reg.shape[0]
     m = reg.shape[1]
+    tm = t * m
     taxa_flat = taxa_dense.reshape(-1)
     enc_flat = enc.reshape(-1)
     lanes = hll_lanes.reshape(-1)
 
     safe_taxa = jnp.where(lanes, taxa_flat, 0)
-    if t <= 4096:
-        # dense masked reduction: N x T compares fuse on the VPU (~1ms),
-        # where a bincount scatter over 2M lanes costs ~25ms
-        tagged = jnp.where(lanes, taxa_flat, -1)
-        kc_add = jnp.sum(
-            tagged[None, :] == jnp.arange(t, dtype=jnp.int32)[:, None], axis=1
-        )
-        kmer_counts = kmer_counts + kc_add.astype(jnp.int64)
-    else:
-        kmer_counts = kmer_counts + jnp.bincount(
-            jnp.where(lanes, taxa_flat, t), length=t + 1
-        )[:t].astype(jnp.int64)
     read_counts = read_counts + jnp.bincount(
         jnp.where(row_valid, call_dense, t), length=t + 1
     )[:t].astype(jnp.int64)
@@ -75,10 +64,35 @@ def update_core(
     plain_rank = (clz + jnp.uint32(1)).astype(jnp.uint8)
     rank = jnp.where(flagged, flag_rank, plain_rank)
 
-    flat_slot = jnp.where(lanes, safe_taxa * m + idx, t * m)
+    if tm <= (1 << 22):
+        # sort-based segment max: pack (slot, rank) into one u32 (rank < 64
+        # always: <= (64 - pPrime + 1) + (25 - p) = 53), sort, then read each
+        # slot's max rank with a co-sorted searchsorted over the slot grid --
+        # 6x faster than a scatter-max over the lanes (17ms vs 103ms for 8.5M
+        # lanes on v5e) and it yields the per-taxon k-mer counts for free as
+        # differences of segment boundaries
+        slot = jnp.where(lanes, safe_taxa * m + idx, tm).astype(jnp.uint32)
+        comb = (slot << jnp.uint32(6)) | jnp.where(lanes, rank, jnp.uint8(0)).astype(jnp.uint32)
+        cs = jax.lax.sort(comb)
+        bounds = (jnp.arange(tm, dtype=jnp.uint32) + jnp.uint32(1)) << jnp.uint32(6)
+        last = jnp.searchsorted(cs, bounds, side="left", method="sort").astype(jnp.int32) - 1
+        got = jnp.take(cs, jnp.maximum(last, 0))
+        ok = ((got >> jnp.uint32(6)) == jnp.arange(tm, dtype=jnp.uint32)) & (last >= 0)
+        segmax = jnp.where(ok, got & jnp.uint32(0x3F), 0).astype(jnp.uint8)
+        reg = jnp.maximum(reg.reshape(-1), segmax).reshape(t, m)
+        # counted lanes per taxon = sorted-position span of its slot range
+        taxon_last = last.reshape(t, m)[:, m - 1]
+        prev_last = jnp.concatenate([jnp.full(1, -1, jnp.int32), taxon_last[:-1]])
+        kmer_counts = kmer_counts + (taxon_last - prev_last).astype(jnp.int64)
+        return reg, kmer_counts, read_counts
+
+    kmer_counts = kmer_counts + jnp.bincount(
+        jnp.where(lanes, taxa_flat, t), length=t + 1
+    )[:t].astype(jnp.int64)
+    flat_slot = jnp.where(lanes, safe_taxa * m + idx, tm)
     reg_flat = jnp.concatenate([reg.reshape(-1), jnp.zeros(m, jnp.uint8)])
     reg_flat = reg_flat.at[flat_slot].max(jnp.where(lanes, rank, jnp.uint8(0)))
-    return reg_flat[: t * m].reshape(t, m), kmer_counts, read_counts
+    return reg_flat[:tm].reshape(t, m), kmer_counts, read_counts
 
 
 _update = functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("p",))(

@@ -95,6 +95,13 @@ class StepConfig:
     # 32 ambiguity bits) and are unpacked on device -- 5x fewer host->device
     # bytes, which matters when the device link is bandwidth-bound
     packed_input: bool = False
+    # True: RLE rows carry DENSE taxon ids packed with their run length in a
+    # single u32 (dense<<16 | ambig<<15 | len) and the n_kmers column is
+    # dropped (derivable from the sequence length on host) -- 40B/read at R=8
+    # instead of 60B. Requires a taxonomy of <= 65536 nodes; the host maps
+    # dense ids back through taxid_table. The device->host link is the
+    # pipeline's bandwidth bottleneck, so fetched bytes are the cost model.
+    dense_runs: bool = False
 
 
 def classify_step_core(
@@ -201,7 +208,14 @@ def classify_step_core(
         out["canon"] = canon
     if cfg.max_runs > 0:
         out["packed"] = _pack_runs(
-            taxon, kmer_ambig, valid, call, total_hits, n_kmers[:, 0], cfg.max_runs
+            taxon,
+            kmer_ambig,
+            valid,
+            call,
+            total_hits,
+            n_kmers[:, 0],
+            cfg.max_runs,
+            taxon_dense=taxon_dense if cfg.dense_runs else None,
         )
         # single-fetch accumulate feed: taxon<<32 | hll-encoding per counted
         # lane, all-ones sentinel elsewhere
@@ -213,16 +227,23 @@ def classify_step_core(
     return out
 
 
-def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs):
+def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs, taxon_dense=None):
     """RLE-encode each read's per-k-mer hit codes on device and pack the
     whole per-read result into one uint32 matrix so the host needs a single
     transfer per batch.
 
-    Compact row layout (R = max_runs, must be even; 60B/read at R=8 -- sized
+    Wide row layout (R = max_runs, must be even; 60B/read at R=8 -- sized
     for a bandwidth-bound device link):
       [run_vals(R) | lens2(R/2) | call | n_kmers | hits<<16 | n_runs]
     lens2 packs two 16-bit run lengths per word (even run in the low half);
     each u16 = run_len (15 bits) | ambiguity flag << 15 (an 'A:' run).
+
+    Dense row layout (taxon_dense given; requires a <= 2^16-node taxonomy;
+    40B/read at R=8):
+      [run words(R): dense_taxon<<16 | ambig<<15 | run_len | call |
+       hits<<16 | n_runs]
+    n_kmers is omitted -- the host derives it from the sequence length.
+
     Reads with more than R runs report n_runs > R and are re-fetched row-wise
     by the host (rare). Requires W < 2^15 and matches the parser in
     kuniq_native.kraken_lines_rle.
@@ -246,18 +267,30 @@ def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs):
     # this fuses into ~1ms of VPU reductions)
     r_idx = jnp.arange(r, dtype=jnp.int32)
     in_slot = valid[:, None, :] & (run_id[:, None, :] == r_idx[None, :, None])
-    run_vals = jnp.max(
-        jnp.where(in_slot, taxon[:, None, :], jnp.uint32(0)), axis=2
-    )
     run_lens = jnp.sum(in_slot, axis=2).astype(jnp.uint32)
     run_amb = (
         jnp.any(in_slot & kmer_ambig[:, None, :], axis=2).astype(jnp.uint32)
         << jnp.uint32(15)
     )
+    meta = (hits.astype(jnp.uint32) << jnp.uint32(16)) | n_runs.astype(jnp.uint32)
+
+    if taxon_dense is not None:
+        # dense 0 is the taxid-0 sentinel (taxonomy/tree.py), so a miss run
+        # encodes as dense 0 exactly like taxon 0 in the wide layout
+        run_dense = jnp.max(
+            jnp.where(in_slot, taxon_dense[:, None, :].astype(jnp.uint32), jnp.uint32(0)),
+            axis=2,
+        )
+        words = (run_dense << jnp.uint32(16)) | run_amb | run_lens
+        return jnp.concatenate(
+            [words, call.astype(jnp.uint32)[:, None], meta[:, None]], axis=1
+        )
+
+    run_vals = jnp.max(
+        jnp.where(in_slot, taxon[:, None, :], jnp.uint32(0)), axis=2
+    )
     lens16 = run_lens | run_amb
     lens2 = lens16[:, 0::2] | (lens16[:, 1::2] << jnp.uint32(16))
-
-    meta = (hits.astype(jnp.uint32) << jnp.uint32(16)) | n_runs.astype(jnp.uint32)
     return jnp.concatenate(
         [
             run_vals,

@@ -139,6 +139,7 @@ class Classifier:
         self.nt = self.dbs[0].nt
 
         tax = self.taxonomy
+        self._taxids_host = np.ascontiguousarray(tax.taxids, dtype=np.uint32)
         self._taxid_table = jax.device_put(tax.taxids.astype(np.uint32))
         self._tin = jax.device_put(tax.tin)
         self._tout = jax.device_put(tax.tout)
@@ -169,6 +170,15 @@ class Classifier:
             lookup_mode="hash" if use_hash else "bsearch",
             hash_lbs=tuple(db.hash_lb for db in self.dbs) if use_hash else (),
         )
+        # compact RLE rows (dense taxon ids, 40B/read): the device->host link
+        # is the pipeline bottleneck, so fetch bytes are the cost model; UID
+        # runs carry uids (not taxa) and stay on the wide layout
+        if (
+            self._cfg.max_runs > 0
+            and self.uid_map is None
+            and tax.size <= (1 << 16)
+        ):
+            self._cfg = dataclasses.replace(self._cfg, dense_runs=True)
         # the native span path ships bit-packed codes/ambig (5x fewer bytes)
         self._cfg_packed = dataclasses.replace(self._cfg, packed_input=True)
         self.counter = TaxonCounter(effective_p, exact=self.opts.exact)
@@ -409,14 +419,21 @@ class Classifier:
         opts = self.opts
 
         r = self._cfg.max_runs
-        meta0 = r + r // 2  # compact row: run_vals(R) | lens2(R/2) | meta(3)
+        dense = self._cfg.dense_runs
+        # dense row: runs(R) | call | meta;  wide row: run_vals(R) |
+        # lens2(R/2) | call | n_kmers | meta
+        meta0 = r if dense else r + r // 2
         t0 = time.time() if _PROFILE else 0
         packed = np.asarray(out["packed"])[:n_span]
         if _PROFILE:
             sys.stderr.write(f" fetch {1e3*(time.time()-t0):.0f}ms")
         calls = packed[:, meta0].copy()
-        n_kmers = packed[:, meta0 + 1].astype(np.int32)
-        n_runs = packed[:, meta0 + 2] & np.uint32(0xFFFF)
+        if dense:
+            n_kmers = np.maximum(seq_lens - (self.k - 1), 0).astype(np.int32)
+            n_runs = packed[:, meta0 + 1] & np.uint32(0xFFFF)
+        else:
+            n_kmers = packed[:, meta0 + 1].astype(np.int32)
+            n_runs = packed[:, meta0 + 2] & np.uint32(0xFFFF)
 
         if self.uid_map is not None:
             taxa_full = np.asarray(out["taxa"])
@@ -485,6 +502,9 @@ class Classifier:
                 bool(opts.only_classified_output),
                 ov_rows,
                 ov_lines,
+                bool(dense),
+                self.k,
+                self._taxids_host if dense else None,
             )
             if hasattr(kraken_fh, "buffer"):
                 kraken_fh.buffer.write(lines)

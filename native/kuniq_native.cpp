@@ -321,26 +321,42 @@ PyObject* kraken_lines(PyObject*, PyObject* args) {
 
 
 /* kraken_lines_rle(ids: bytes, id_off int64[n], id_len int64[n],
- *                  packed uint32[n, R + R/2 + 3], R (even),
+ *                  packed uint32[n, cols], R (even),
  *                  seq_lens int32[n],
  *                  quick, only_classified,
- *                  overflow_idx int64[m], overflow_lines: list[bytes])
- * Compact row layout (60B/read at R=8, sized for a bandwidth-bound device
- * link): run_vals(R u32) | lens2(R/2 u32: two u16 per word, lo half = even
- * run; each u16 = run_len(15 bits) | ambig<<15) | call | n_kmers |
- * (hits<<16 | n_runs).  Overflow rows (n_runs > R) take their pre-rendered
+ *                  overflow_idx int64[m], overflow_lines: list[bytes],
+ *                  dense: bool, k: int, taxid_table: uint32[T] or None)
+ * Wide row layout (dense=0; 60B/read at R=8, sized for a bandwidth-bound
+ * device link): run_vals(R u32) | lens2(R/2 u32: two u16 per word, lo half =
+ * even run; each u16 = run_len(15 bits) | ambig<<15) | call | n_kmers |
+ * (hits<<16 | n_runs).
+ * Dense row layout (dense=1; 40B/read at R=8): R run words of
+ * dense_taxon<<16 | ambig<<15 | run_len, then call, then hits<<16 | n_runs;
+ * dense ids map to taxids through taxid_table and n_kmers = max(0,
+ * seq_len - (k-1)).  Overflow rows (n_runs > R) take their pre-rendered
  * line from overflow_lines (matched by position in overflow_idx). */
 PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
   Py_buffer ids;
   PyArrayObject *id_off, *id_len, *packed, *seq_lens, *ov_idx;
-  long R;
-  int quick, only_classified;
+  long R, kk;
+  int quick, only_classified, dense;
   PyObject* ov_lines;
-  if (!PyArg_ParseTuple(args, "y*O!O!O!lO!ppO!O", &ids, &PyArray_Type, &id_off,
+  PyObject* table_obj;
+  if (!PyArg_ParseTuple(args, "y*O!O!O!lO!ppO!OplO", &ids, &PyArray_Type, &id_off,
                         &PyArray_Type, &id_len, &PyArray_Type, &packed, &R,
                         &PyArray_Type, &seq_lens, &quick, &only_classified,
-                        &PyArray_Type, &ov_idx, &ov_lines))
+                        &PyArray_Type, &ov_idx, &ov_lines, &dense, &kk, &table_obj))
     return nullptr;
+  const uint32_t* table = nullptr;
+  int64_t table_n = 0;
+  if (dense) {
+    if (!PyArray_Check(table_obj)) {
+      PyErr_SetString(PyExc_TypeError, "dense mode needs a taxid_table array");
+      return nullptr;
+    }
+    table = (const uint32_t*)PyArray_DATA((PyArrayObject*)table_obj);
+    table_n = PyArray_DIM((PyArrayObject*)table_obj, 0);
+  }
   int64_t n = PyArray_DIM(packed, 0);
   int64_t stride = PyArray_DIM(packed, 1);
   const char* idbuf = (const char*)ids.buf;
@@ -355,13 +371,21 @@ PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
   std::string out;
   out.reserve((size_t)n * 48);
   char tmp[64];
-  const long META = R + R / 2;
+  const long META = dense ? R : R + R / 2;
   for (int64_t i = 0; i < n; i++) {
     const uint32_t* row = pk + i * stride;
     uint32_t call = row[META];
-    uint32_t n_kmers = row[META + 1];
-    uint32_t hits = row[META + 2] >> 16;
-    uint32_t n_runs = row[META + 2] & 0xFFFFu;
+    uint32_t n_kmers, hits, n_runs;
+    if (dense) {
+      int32_t nk = slp[i] - (int32_t)(kk - 1);
+      n_kmers = nk > 0 ? (uint32_t)nk : 0u;
+      hits = row[META + 1] >> 16;
+      n_runs = row[META + 1] & 0xFFFFu;
+    } else {
+      n_kmers = row[META + 1];
+      hits = row[META + 2] >> 16;
+      n_runs = row[META + 2] & 0xFFFFu;
+    }
     if (ov_pos < n_ov && ovp[ov_pos] == i) {
       // pre-rendered overflow line (consume it even when suppressed below)
       PyObject* line = PyList_GetItem(ov_lines, (Py_ssize_t)ov_pos);
@@ -383,10 +407,19 @@ PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
       out += "0:0";
     } else {
       for (uint32_t j = 0; j < n_runs && (long)j < R; j++) {
-        uint32_t v = row[j];
-        uint32_t lw = (row[R + j / 2] >> ((j & 1) * 16)) & 0xFFFFu;
-        uint32_t amb = lw >> 15;
-        uint32_t l = lw & 0x7FFFu;
+        uint32_t v, amb, l;
+        if (dense) {
+          uint32_t wd = row[j];
+          uint32_t d = wd >> 16;
+          v = d < (uint32_t)table_n ? table[d] : 0u;
+          amb = (wd >> 15) & 1u;
+          l = wd & 0x7FFFu;
+        } else {
+          v = row[j];
+          uint32_t lw = (row[R + j / 2] >> ((j & 1) * 16)) & 0xFFFFu;
+          amb = lw >> 15;
+          l = lw & 0x7FFFu;
+        }
         if (j) out += ' ';
         if (amb)
           len = snprintf(tmp, sizeof(tmp), "A:%u", l);
@@ -423,6 +456,6 @@ PyMODINIT_FUNC PyInit_kuniq_native(void) {
   import_array();
   init_tables();
   PyObject* mod = PyModule_Create(&moduledef);
-  if (mod) PyModule_AddIntConstant(mod, "API_VERSION", 2);
+  if (mod) PyModule_AddIntConstant(mod, "API_VERSION", 3);
   return mod;
 }
