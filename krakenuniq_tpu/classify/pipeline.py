@@ -276,18 +276,37 @@ class Classifier:
 
     # ------------------------------------------------------------ native path
 
+    _PIPELINE_DEPTH = 2  # spans in flight; absorbs device-link transfer jitter
+
+    def _warm_link(self):
+        """Absorb the device link's first-transfer ramp (observed: the first
+        sizeable download of a process can stall seconds where the sustained
+        rate is ~30MB/s) before it can hit a mid-pipeline fetch."""
+        if getattr(self, "_link_warm", False):
+            return
+        self._link_warm = True
+        try:
+            import jax.numpy as jnp
+
+            x = jnp.arange(1 << 20, dtype=jnp.uint32)  # 4MB round trip
+            _ = np.asarray(x * jnp.uint32(1))
+        except Exception:
+            pass
+
     def _run_native(self, path, kraken_fh, classified_fh, unclassified_fh) -> None:
-        pending = None  # records carried to honor unit semantics across chunks
+        from collections import deque
+
+        self._warm_link()
+        pending = deque()  # spans in flight, ordered; bounded by _PIPELINE_DEPTH
         for buf, offs, multi, fastq in self._native_chunks(path):
             overlong = bool((np.abs(offs[:, 5]) > self.opts.max_read_len).any())
             if multi or overlong:
                 # rare: multi-line FASTA or overlong reads -> Python records;
-                # flush any in-flight span first to keep output ordered
-                if pending is not None:
+                # flush any in-flight spans first to keep output ordered
+                while pending:
                     self._finish_native_span(
-                        pending, kraken_fh, classified_fh, unclassified_fh
+                        pending.popleft(), kraken_fh, classified_fh, unclassified_fh
                     )
-                    pending = None
                 from io import StringIO
 
                 text = buf.decode("ascii", "replace")
@@ -328,18 +347,20 @@ class Classifier:
                 span = offs[bounds[i] : bounds[j]]
                 unit_bounds = [b - bounds[i] for b in bounds[i : j + 1]]
                 st = self._start_native_span(buf, span, unit_bounds, fastq)
-                if pending is not None:
-                    # overlap: the device crunches this span while the host
-                    # formats the previous one
+                pending.append(st)
+                # overlap: the device crunches the newest span(s) while the
+                # host formats the oldest one
+                while len(pending) > self._PIPELINE_DEPTH:
                     self._finish_native_span(
-                        pending, kraken_fh, classified_fh, unclassified_fh
+                        pending.popleft(), kraken_fh, classified_fh, unclassified_fh
                     )
-                pending = st
                 i = j
             self._progress()
-        if pending is not None:
-            self._finish_native_span(pending, kraken_fh, classified_fh, unclassified_fh)
-            self._progress()
+        while pending:
+            self._finish_native_span(
+                pending.popleft(), kraken_fh, classified_fh, unclassified_fh
+            )
+        self._progress()
 
     def _start_native_span(self, buf, offs, unit_bounds, fastq):
         """Encode and dispatch one device batch spanning several work units;
