@@ -102,6 +102,13 @@ class StepConfig:
     # dense ids back through taxid_table. The device->host link is the
     # pipeline's bandwidth bottleneck, so fetched bytes are the cost model.
     dense_runs: bool = False
+    # restrict the returned dict to these keys (None = all). Every returned
+    # array is a device buffer the dispatch must allocate and register
+    # through the transport -- ~80ms/dispatch of overhead for the full
+    # 12-output dict at B=65536 -- and XLA can DCE whole phases when their
+    # outputs are dropped. The native pipeline asks only for what its mode
+    # actually reads back.
+    outputs: tuple | None = None
 
 
 def classify_step_core(
@@ -224,6 +231,8 @@ def classify_step_core(
             (taxon.astype(jnp.uint64) << jnp.uint64(32)) | enc.astype(jnp.uint64),
             jnp.uint64(0xFFFFFFFFFFFFFFFF),
         )
+    if cfg.outputs is not None:
+        out = {k: out[k] for k in cfg.outputs}
     return out
 
 
@@ -328,8 +337,11 @@ def _classify_and_count_core(
     overlap the lookup gathers instead of serializing behind them."""
     from .device_counters import update_core
 
+    # the accumulation consumes intermediate outputs, so run the core
+    # unfiltered and apply cfg.outputs only to what the host sees
     out = classify_step_core(
-        db_planes, taxid_table, tin, tout, parent, root_dense, codes, ambig, lengths, cfg
+        db_planes, taxid_table, tin, tout, parent, root_dense, codes, ambig, lengths,
+        dataclasses.replace(cfg, outputs=None),
     )
     b = codes.shape[0]
     row_valid = jnp.arange(b, dtype=jnp.int32) < n_valid
@@ -344,6 +356,8 @@ def _classify_and_count_core(
         row_valid,
         p,
     )
+    if cfg.outputs is not None:
+        out = {k: out[k] for k in cfg.outputs}
     return out, state
 
 

@@ -81,7 +81,10 @@ class ClassifyOptions:
     # keep the entire taxon_counts state on device and fetch it once at the
     # end (fast mode; see classify/device_counters.py for the trade-off)
     device_counters: bool = False
-    device_batch_reads: int = 65536  # units per device dispatch are grouped up to this
+    # units per device dispatch are grouped up to this; bigger spans amortize
+    # fixed per-dispatch transport overhead but pay bucket-padded device time
+    # on tail spans (measured best at 65536 with 32MB input chunks)
+    device_batch_reads: int = 65536
     max_runs: int = 8  # device-side RLE run slots per read (even; overflow rows re-fetched)
 
 
@@ -164,7 +167,7 @@ class Classifier:
             with_kmers=self.opts.exact,
             max_runs=(
                 self.opts.max_runs + (self.opts.max_runs & 1)  # even (paired u16 lens)
-                if (_native is not None and self.opts.use_native and not self.opts.exact)
+                if (_native is not None and self.opts.use_native)
                 else 0
             ),
             lookup_mode="hash" if use_hash else "bsearch",
@@ -180,7 +183,21 @@ class Classifier:
         ):
             self._cfg = dataclasses.replace(self._cfg, dense_runs=True)
         # the native span path ships bit-packed codes/ambig (5x fewer bytes)
-        self._cfg_packed = dataclasses.replace(self._cfg, packed_input=True)
+        # and materializes only the outputs its mode reads back (each dropped
+        # output saves dispatch-time buffer registration and lets XLA DCE the
+        # phase that produced it)
+        if self._cfg.max_runs > 0:
+            if self.opts.exact:
+                span_outputs = ("packed", "taxa", "ambig", "hll_lanes", "canon")
+            elif self.opts.device_counters:
+                span_outputs = ("packed", "taxa", "ambig")
+            else:
+                span_outputs = ("packed", "taxa", "ambig", "hll_pairs")
+        else:
+            span_outputs = None
+        self._cfg_packed = dataclasses.replace(
+            self._cfg, packed_input=True, outputs=span_outputs
+        )
         self.counter = TaxonCounter(effective_p, exact=self.opts.exact)
         self.dev_counters = None
         if self.opts.device_counters:
@@ -419,6 +436,17 @@ class Classifier:
                 lengths,
                 self._cfg_packed,
             )
+        if self._cfg.max_runs > 0:
+            # fetch only the rows that hold reads: tail spans land in a padded
+            # height bucket, and transfer bytes -- not device flops -- are the
+            # span cost. Rows are rounded to a coarse grid so the device-side
+            # slice program compiles once per (bucket, grid) pair. taxa/ambig
+            # stay full-height (they are row-gathered on demand).
+            fetch_rows = min(b, -(-n_span // 8192) * 8192)
+            if fetch_rows < b:
+                for key in ("packed", "hll_pairs", "hll_lanes", "canon"):
+                    if key in out:
+                        out[key] = out[key][:fetch_rows]
         # force the (possibly lazy) transport to start executing and moving
         # the packed matrix now, so the host-side finish of the PREVIOUS span
         # genuinely overlaps this span's device work

