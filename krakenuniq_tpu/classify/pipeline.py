@@ -86,6 +86,12 @@ class ClassifyOptions:
     # on tail spans (measured best at 65536 with 32MB input chunks)
     device_batch_reads: int = 65536
     max_runs: int = 8  # device-side RLE run slots per read (even; overflow rows re-fetched)
+    # multi-chip mesh: shard the database by minimizer range over mesh_db
+    # devices and the read batch over mesh_data devices (mesh_data * mesh_db
+    # <= len(jax.devices())). 1x1 = the single-chip path. Requires a single
+    # non-UID database; accumulation runs on host (exact-compat mode).
+    mesh_data: int = 1
+    mesh_db: int = 1
 
 
 def _bucket(n: int, lo: int) -> int:
@@ -128,18 +134,52 @@ class Classifier:
             from .uid import UidMap
 
             self.uid_map = UidMap(os.path.join(self.db_dirs[0], "uid_to_taxid.map"))
-        self.dbs: list[DeviceDB] = []
-        for d in self.db_dirs:
-            db, _ = load_database_dir(d, taxonomy=self.taxonomy, uid_database=uid_database)
-            self.dbs.append(db)
-        ks = {db.k for db in self.dbs}
-        if len(ks) != 1:
-            raise ValueError(f"Different k-mer sizes in databases: {sorted(ks)}")
-        self.k = self.dbs[0].k
-        nts = {db.nt for db in self.dbs}
-        if len(nts) != 1:
-            raise ValueError(f"Different minimizer sizes in databases: {sorted(nts)}")
-        self.nt = self.dbs[0].nt
+        self.mesh = None
+        self._sharded_planes = None
+        n_md, n_mdb = self.opts.mesh_data, self.opts.mesh_db
+        if n_md * n_mdb > 1:
+            if uid_database:
+                raise ValueError("mesh mode is incompatible with UID mapping")
+            if self.opts.device_counters:
+                raise ValueError(
+                    "mesh mode uses host accumulation; drop --device-counters"
+                )
+            if len(self.db_dirs) > 1:
+                raise ValueError("mesh mode supports a single database")
+            if n_md & (n_md - 1):
+                raise ValueError("mesh_data must be a power of two (batch buckets)")
+            from ..parallel import make_mesh
+            from ..parallel.partition import shard_hash_tables
+
+            hdr, h_keys, h_vals = read_kdb(os.path.join(self.db_dirs[0], "database.kdb"))
+            from ..formats import read_index
+
+            _idx_type, nt, h_offsets = read_index(
+                os.path.join(self.db_dirs[0], "database.idx")
+            )
+            h_vd = self.taxonomy.dense_index(h_vals)
+            self._sharded_planes = shard_hash_tables(
+                h_keys, h_vals, h_vd, np.asarray(h_offsets), n_mdb
+            )
+            self._host_vals_dense = h_vd
+            self.mesh = make_mesh(n_md, n_mdb)
+            self.dbs = []
+            self.k, self.nt = hdr.k, nt
+            max_bin = int(np.diff(np.asarray(h_offsets, dtype=np.int64)).max())
+            self._mesh_n_iter = max(1, int(np.ceil(np.log2(max_bin + 1))) + 1)
+        else:
+            self.dbs: list[DeviceDB] = []
+            for d in self.db_dirs:
+                db, _ = load_database_dir(d, taxonomy=self.taxonomy, uid_database=uid_database)
+                self.dbs.append(db)
+            ks = {db.k for db in self.dbs}
+            if len(ks) != 1:
+                raise ValueError(f"Different k-mer sizes in databases: {sorted(ks)}")
+            self.k = self.dbs[0].k
+            nts = {db.nt for db in self.dbs}
+            if len(nts) != 1:
+                raise ValueError(f"Different minimizer sizes in databases: {sorted(nts)}")
+            self.nt = self.dbs[0].nt
 
         tax = self.taxonomy
         self._taxids_host = np.ascontiguousarray(tax.taxids, dtype=np.uint32)
@@ -148,18 +188,27 @@ class Classifier:
         self._tout = jax.device_put(tax.tout)
         self._parent = jax.device_put(tax.parent)
         self._root_dense = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
-        use_hash = all(db.hash_table is not None for db in self.dbs)
-        if use_hash:
-            self._db_planes = tuple(db.hash_table for db in self.dbs)
+        if self.mesh is not None:
+            use_hash = True
+            self._db_planes = None  # lookups go through the sharded fns
         else:
-            self._db_planes = tuple(
-                (db.keys, db.vals, db.vals_dense, db.offsets, db.bin_start) for db in self.dbs
-            )
+            use_hash = all(db.hash_table is not None for db in self.dbs)
+            if use_hash:
+                self._db_planes = tuple(db.hash_table for db in self.dbs)
+            else:
+                self._db_planes = tuple(
+                    (db.keys, db.vals, db.vals_dense, db.offsets, db.bin_start)
+                    for db in self.dbs
+                )
         effective_p = self.opts.hll_precision if self.opts.true_hll_precision else 12
         self._cfg = StepConfig(
             k=self.k,
             nt=self.nt,
-            n_iter=max(db.search_iters for db in self.dbs),
+            n_iter=(
+                self._mesh_n_iter
+                if self.mesh is not None
+                else max(db.search_iters for db in self.dbs)
+            ),
             max_depth=tax.max_depth,
             hll_p=effective_p,
             quick=self.opts.quick,
@@ -198,6 +247,27 @@ class Classifier:
         self._cfg_packed = dataclasses.replace(
             self._cfg, packed_input=True, outputs=span_outputs
         )
+        self._sharded_fn = self._sharded_fn_packed = None
+        if self.mesh is not None:
+            from ..parallel import make_sharded_classify_fn
+
+            common = (
+                tax.taxids.astype(np.uint32),
+                tax.tin,
+                tax.tout,
+                tax.parent,
+                self._root_dense,
+            )
+            self._sharded_fn_packed, dev_planes = make_sharded_classify_fn(
+                self.mesh, self._sharded_planes, *common, self._cfg_packed
+            )
+            self._sharded_fn, _ = make_sharded_classify_fn(
+                self.mesh,
+                self._sharded_planes,
+                *common,
+                self._cfg,
+                dev_planes=dev_planes,
+            )
         self.counter = TaxonCounter(effective_p, exact=self.opts.exact)
         self.dev_counters = None
         if self.opts.device_counters:
@@ -423,6 +493,8 @@ class Classifier:
                 self.dev_counters.p,
             )
             self.dev_counters.set_state(state)
+        elif self.mesh is not None:
+            out = dict(self._sharded_fn_packed(codes, ambig_arr, lengths))
         else:
             out = classify_step(
                 self._db_planes,
@@ -585,6 +657,8 @@ class Classifier:
     # ------------------------------------------------------------ shared core
 
     def _device_step(self, codes, ambig, lengths):
+        if self.mesh is not None:
+            return dict(self._sharded_fn(codes, ambig, lengths))
         return classify_step(
             self._db_planes,
             self._taxid_table,
@@ -641,6 +715,11 @@ class Classifier:
         import dataclasses as _dc
 
         from ..kmer import encode_batch
+
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "mesh mode does not support reads longer than max_read_len yet"
+            )
 
         k = self.k
         opts = self.opts
@@ -843,17 +922,19 @@ class Classifier:
         for i, d in enumerate(self.db_dirs):
             path = os.path.join(d, "database.kdb") + ".counts"  # "<kdb path>.counts"
             if not (os.path.exists(path) and os.path.getsize(path) > 0):
-                db = self.dbs[i]
-                hist = np.bincount(
-                    np.asarray(db.vals_dense), minlength=self.taxonomy.size
+                vd = (
+                    self._host_vals_dense
+                    if self.mesh is not None
+                    else np.asarray(self.dbs[i].vals_dense)
                 )
+                hist = np.bincount(vd, minlength=self.taxonomy.size)
                 active = np.flatnonzero(hist)
                 counts = {
                     int(self.taxonomy.taxids[a]): int(hist[a]) for a in active
                 }
                 # values whose taxid was missing from the taxonomy land on
                 # dense 0 with vals != 0; fall back to the host histogram
-                if (np.asarray(db.vals_dense) == 0).any() and 0 in counts:
+                if (vd == 0).any() and 0 in counts:
                     _, _, vals = read_kdb(os.path.join(d, "database.kdb"))
                     counts = counts_from_vals(vals)
                 write_counts(path, counts)

@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep taxon counters on the device (faster; unique-k-mer estimates "
         "use dense HLL registers rather than the reference's sparse mode)",
     )
+    p.add_argument(
+        "--mesh",
+        default=None,
+        metavar="DATAxDB",
+        help="multi-chip mesh, e.g. 2x4: shard the database by minimizer "
+        "range over DB devices and the read batch over DATA devices "
+        "(requires DATA*DB <= available devices)",
+    )
     p.add_argument("--version", action="version", version=f"KrakenUniq-TPU version {__version__}")
     p.add_argument("files", nargs="*", help="FASTA/FASTQ input files (gz/bz2/xz ok)")
     return p
@@ -102,6 +110,14 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Taxonomy database not at {taxdb_path} - creating it ...", file=sys.stderr)
         Taxonomy.from_ncbi_dumps(names, nodes).write_taxdb(taxdb_path)
 
+    mesh_data = mesh_db = 1
+    if args.mesh:
+        try:
+            mesh_data, mesh_db = (int(x) for x in args.mesh.lower().split("x"))
+        except ValueError:
+            print(f"--mesh expects DATAxDB (e.g. 2x4), got {args.mesh!r}", file=sys.stderr)
+            return 1
+
     opts = ClassifyOptions(
         quick=args.quick,
         min_hits=args.min_hits,
@@ -111,6 +127,8 @@ def main(argv: list[str] | None = None) -> int:
         print_sequence=args.print_sequence,
         full_report=args.full_report,
         device_counters=args.device_counters,
+        mesh_data=mesh_data,
+        mesh_db=mesh_db,
     )
 
     inputs = list(args.files)

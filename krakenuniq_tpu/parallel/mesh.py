@@ -42,6 +42,7 @@ def make_sharded_classify_fn(
     parent: np.ndarray,
     root_dense,
     cfg: StepConfig,
+    dev_planes: tuple | None = None,
 ):
     """Returns a jitted fn(codes, ambig, lengths) -> outputs dict, running the
     classify step over the mesh with the DB minimizer-sharded along "db"."""
@@ -54,7 +55,6 @@ def make_sharded_classify_fn(
             "db_axis": "db",
             "lookup_mode": "hash" if hash_mode else "bsearch",
             "hash_lbs": (planes.lb,) if hash_mode else (),
-            "max_runs": 0,  # packed outputs are a single-chip host-transfer aid
         }
     )
 
@@ -63,19 +63,20 @@ def make_sharded_classify_fn(
     scalar_sharding = NamedSharding(mesh, P("db"))
     repl = NamedSharding(mesh, P())
 
-    if hash_mode:
-        dev_planes = (
-            jax.device_put(planes.ptags, db_sharding3),
-            jax.device_put(planes.confirm, db_sharding3),
-        )
-    else:
-        dev_planes = (
-            jax.device_put(planes.keys, db_sharding),
-            jax.device_put(planes.vals, db_sharding),
-            jax.device_put(planes.vals_dense, db_sharding),
-            jax.device_put(planes.offsets, db_sharding),
-            jax.device_put(planes.bin_start, scalar_sharding),
-        )
+    if dev_planes is None:
+        if hash_mode:
+            dev_planes = (
+                jax.device_put(planes.ptags, db_sharding3),
+                jax.device_put(planes.confirm, db_sharding3),
+            )
+        else:
+            dev_planes = (
+                jax.device_put(planes.keys, db_sharding),
+                jax.device_put(planes.vals, db_sharding),
+                jax.device_put(planes.vals_dense, db_sharding),
+                jax.device_put(planes.offsets, db_sharding),
+                jax.device_put(planes.bin_start, scalar_sharding),
+            )
     tax_args = tuple(
         jax.device_put(np.asarray(x), repl) for x in (taxid_table, tin, tout, parent)
     )
@@ -111,6 +112,13 @@ def make_sharded_classify_fn(
     }
     if cfg.with_kmers:
         out_specs["canon"] = P("data", None)
+    if cfg.max_runs > 0:
+        # the psum-combined taxa are replicated along "db", so the RLE pack
+        # runs redundantly per db-shard and any copy is the answer
+        out_specs["packed"] = P("data", None)
+        out_specs["hll_pairs"] = P("data", None)
+    if cfg.outputs is not None:
+        out_specs = {k: out_specs[k] for k in cfg.outputs}
 
     if hash_mode:
         plane_specs = (P("db", None, None), P("db", None, None))

@@ -106,3 +106,37 @@ def test_hash_sharded_equals_single(n_data, n_db):
         np.testing.assert_array_equal(
             np.asarray(single[key]), np.asarray(sharded[key]), err_msg=key
         )
+
+
+@pytest.mark.parametrize("n_data,n_db", [(2, 4), (1, 8), (8, 1)])
+def test_mesh_pipeline_matches_single_chip(n_data, n_db, tmp_path):
+    """The FULL pipeline (Classifier with mesh_data/mesh_db) produces byte-
+    identical kraken output and reports to the single-chip pipeline -- the
+    spatialized form of the reference's chunked-vs-preload equality claim
+    (paper.md:112)."""
+    import io
+    import os
+
+    DATA = os.path.join(os.path.dirname(__file__), "golden", "data")
+    if not os.path.exists(os.path.join(DATA, "kraken.out")):
+        pytest.skip("golden fixture missing")
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+
+    reads = os.path.join(DATA, "reads.fa")
+    outs, reps = [], []
+    for md, mdb in ((1, 1), (n_data, n_db)):
+        c = Classifier(
+            [DATA], ClassifyOptions(print_progress=False, mesh_data=md, mesh_db=mdb)
+        )
+        out, rep = io.StringIO(), io.StringIO()
+        c.run([reads], kraken_fh=out)
+        c.write_report(rep)
+        outs.append(out.getvalue())
+        reps.append(rep.getvalue())
+    assert outs[0] == outs[1]
+    body = [
+        [l for l in r.splitlines() if not l.startswith("#")] for r in reps
+    ]
+    assert body[0] == body[1]
+    # and both equal the golden produced by the reference binaries
+    assert outs[0] == open(os.path.join(DATA, "kraken.out")).read()
