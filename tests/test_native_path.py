@@ -119,3 +119,22 @@ def test_encode_unit_packed_matches_unpacked():
     np.testing.assert_array_equal(np.asarray(uambig), ambig)
     with pytest.raises(ValueError):
         nv.encode_unit_packed(buf, offs, 100, batch)  # lb % 32 != 0
+
+
+def test_tail_span_fetch_slice(tmp_path):
+    """A span whose read count rounds below its padded height bucket takes
+    the device-side sliced fetch (pipeline._start_native_span); outputs must
+    match the pure-Python path. 17k reads -> bucket 32768, fetch 24576."""
+    src = open(os.path.join(DATA, "library.fna")).read().splitlines()
+    genome = "".join(l for l in src if not l.startswith(">"))
+    rng = np.random.default_rng(7)
+    path = tmp_path / "many.fa"
+    n = 17_000
+    starts = rng.integers(0, max(1, len(genome) - 60), size=n)
+    with open(path, "w") as f:
+        f.write(
+            "".join(f">m{i}\n{genome[starts[i]:starts[i]+60]}\n" for i in range(n))
+        )
+    a = run(str(path), use_native=True)
+    b = run(str(path), use_native=False)
+    assert a == b
