@@ -224,13 +224,21 @@ def classify_step_core(
             cfg.max_runs,
             taxon_dense=taxon_dense if cfg.dense_runs else None,
         )
-        # single-fetch accumulate feed: taxon<<32 | hll-encoding per counted
-        # lane, all-ones sentinel elsewhere
-        out["hll_pairs"] = jnp.where(
-            hll_lanes,
-            (taxon.astype(jnp.uint64) << jnp.uint64(32)) | enc.astype(jnp.uint64),
-            jnp.uint64(0xFFFFFFFFFFFFFFFF),
-        )
+        # single-fetch accumulate feed for the host (exact-compat) counter
+        if cfg.dense_runs:
+            # 6B/lane: u32 encoding + u16 dense taxon (0xFFFF = uncounted);
+            # dense_runs already implies the taxonomy fits 16 bits
+            out["hll_enc"] = enc
+            out["hll_dense"] = jnp.where(
+                hll_lanes, taxon_dense.astype(jnp.uint16), jnp.uint16(0xFFFF)
+            )
+        else:
+            # 8B/lane: taxon<<32 | hll-encoding, all-ones sentinel elsewhere
+            out["hll_pairs"] = jnp.where(
+                hll_lanes,
+                (taxon.astype(jnp.uint64) << jnp.uint64(32)) | enc.astype(jnp.uint64),
+                jnp.uint64(0xFFFFFFFFFFFFFFFF),
+            )
     if cfg.outputs is not None:
         out = {k: out[k] for k in cfg.outputs}
     return out

@@ -228,7 +228,7 @@ class Classifier:
         if (
             self._cfg.max_runs > 0
             and self.uid_map is None
-            and tax.size <= (1 << 16)
+            and tax.size <= 0xFFFF  # dense ids AND the u16 sentinel must fit
         ):
             self._cfg = dataclasses.replace(self._cfg, dense_runs=True)
         # the native span path ships bit-packed codes/ambig (5x fewer bytes)
@@ -240,6 +240,8 @@ class Classifier:
                 span_outputs = ("packed", "taxa", "ambig", "hll_lanes", "canon")
             elif self.opts.device_counters:
                 span_outputs = ("packed", "taxa", "ambig")
+            elif self._cfg.dense_runs:
+                span_outputs = ("packed", "taxa", "ambig", "hll_enc", "hll_dense")
             else:
                 span_outputs = ("packed", "taxa", "ambig", "hll_pairs")
         else:
@@ -516,7 +518,7 @@ class Classifier:
             # stay full-height (they are row-gathered on demand).
             fetch_rows = min(b, -(-n_span // 8192) * 8192)
             if fetch_rows < b:
-                for key in ("packed", "hll_pairs", "hll_lanes", "canon"):
+                for key in ("packed", "hll_pairs", "hll_enc", "hll_dense", "hll_lanes", "canon"):
                     if key in out:
                         out[key] = out[key][:fetch_rows]
         # force the (possibly lazy) transport to start executing and moving
@@ -571,6 +573,15 @@ class Classifier:
                 self.counter.process_unit(
                     taxa_full[s_:e_][row_ok], canon[s_:e_][row_ok], calls[s_:e_]
                 )
+        elif dense:
+            # per-unit accumulation (preserves work-unit HLL semantics);
+            # 6B/lane feed: u32 encodings + u16 dense taxa (0xFFFF sentinel)
+            hd = np.asarray(out["hll_dense"])[:n_span]
+            he = np.asarray(out["hll_enc"])[:n_span]
+            for s_, e_ in zip(unit_bounds[:-1], unit_bounds[1:]):
+                m = hd[s_:e_] != np.uint16(0xFFFF)
+                counted_taxa = self._taxids_host[hd[s_:e_][m].astype(np.int64)]
+                self.counter.process_unit(counted_taxa, he[s_:e_][m], calls[s_:e_])
         else:
             # per-unit accumulation (preserves work-unit HLL semantics)
             pairs = np.asarray(out["hll_pairs"])[:n_span]

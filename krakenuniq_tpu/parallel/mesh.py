@@ -116,7 +116,11 @@ def make_sharded_classify_fn(
         # the psum-combined taxa are replicated along "db", so the RLE pack
         # runs redundantly per db-shard and any copy is the answer
         out_specs["packed"] = P("data", None)
-        out_specs["hll_pairs"] = P("data", None)
+        if cfg.dense_runs:
+            out_specs["hll_enc"] = P("data", None)
+            out_specs["hll_dense"] = P("data", None)
+        else:
+            out_specs["hll_pairs"] = P("data", None)
     if cfg.outputs is not None:
         out_specs = {k: out_specs[k] for k in cfg.outputs}
 
