@@ -135,6 +135,13 @@ def main():
         f"({kmers_per_s/1e6:,.1f}M lookups/s)",
         file=sys.stderr,
     )
+    # free the microbench's device copies before the pipeline builds its own
+    # (a 48M-key table is ~2.6GB on device; two copies + working set OOM)
+    del planes, codes, ambig, lengths, taxid_table, targs, out
+    import gc
+
+    gc.collect()
+
     # ---- full pipeline (file -> kraken output + report accumulation) ----
     import io
     import tempfile

@@ -697,24 +697,6 @@ class Classifier:
             out[i] = resolve_uids(hits, self.uid_map, self.taxonomy.lca_fold)
         return out
 
-    def _accumulate(self, out, taxa, calls, n_unit):
-        if self.dev_counters is not None:
-            b = out["call_dense"].shape[0]
-            row_valid = np.zeros(b, dtype=bool)
-            row_valid[:n_unit] = True
-            self.dev_counters.update(
-                out["taxa_dense"], out["enc"], out["hll_lanes"], out["call_dense"], row_valid
-            )
-            return
-        hll_lanes = np.asarray(out["hll_lanes"])
-        mask_rows = np.zeros(hll_lanes.shape[0], dtype=bool)
-        mask_rows[:n_unit] = True
-        row_ok = mask_rows[:, None] & hll_lanes
-        counted = np.asarray(out["canon"] if self.opts.exact else out["enc"])[row_ok]
-        counted_taxa = taxa[row_ok]
-        self.counter.process_unit(counted_taxa, counted, calls)
-
-
     # ---------------------------------------------------------- long reads
 
     def _classify_long_read(self, seq: str):

@@ -274,3 +274,61 @@ def grade_main(argv=None) -> int:
     with open(a.per_read_out, "w") as fh:
         grade(a.taxdb, a.seqid_map, a.kraken, fh)
     return 0
+
+
+def get_kmers_main(argv=None) -> int:
+    """k-mer -> taxa-set dump over a library (get_kmers.cpp equivalent).
+
+    The reference tool (get_kmers.cpp:212-224, an orphan never wired into a
+    Makefile target) collects a kmer->taxid multimap from library sequences
+    and bit-rotted before growing an output stage; this completes it: one
+    line per distinct canonical k-mer, `<kmer-int>\\t<taxid,taxid,...>`
+    (taxids ascending), k taken from the database header. Sequence taxids
+    resolve like set_lcas (seqid2taxid map, version-suffix fallback,
+    kraken:taxid| headers)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="krakenuniq-tpu-get-kmers")
+    p.add_argument("-d", "--db", required=True, help="database.kdb (for k)")
+    p.add_argument("-m", "--seqid-map", required=True, help="seqid2taxid.map")
+    p.add_argument("-F", "--fasta", required=True, action="append", help="library FASTA")
+    p.add_argument("-o", "--output", default="-")
+    a = p.parse_args(argv)
+
+    import sys
+
+    import numpy as np
+
+    from ..build.db_build import extract_canonical_kmers, resolve_seq_taxid
+    from ..formats import read_kdb
+    from ..formats.seqio import read_sequences
+    from ..formats.seqmap import read_seqid2taxid
+
+    hdr, _, _ = read_kdb(a.db)
+    seqmap = read_seqid2taxid(a.seqid_map)
+    pairs = []
+    for path in a.fasta:
+        for dna in read_sequences(path):
+            taxid = resolve_seq_taxid(dna.id, seqmap)
+            if not taxid or not dna.seq:
+                continue
+            km = extract_canonical_kmers(dna.seq, hdr.k)
+            if len(km):
+                pairs.append(
+                    np.stack([km, np.full(len(km), taxid, dtype=np.uint64)], axis=1)
+                )
+    out = sys.stdout if a.output == "-" else open(a.output, "w")
+    try:
+        if pairs:
+            allp = np.unique(np.concatenate(pairs), axis=0)
+            kmers = allp[:, 0]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(kmers[1:] != kmers[:-1]) + 1, [len(kmers)]]
+            )
+            for s, e in zip(starts[:-1], starts[1:]):
+                taxa = ",".join(str(int(t)) for t in allp[s:e, 1])
+                out.write(f"{int(kmers[s])}\t{taxa}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0

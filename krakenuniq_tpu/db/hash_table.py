@@ -136,13 +136,19 @@ def _finalize_table(assign, hashes, packed, lb: int):
 
     ptags = jnp.zeros(nb * BUCKET_SLOTS, jnp.uint32).at[flat_idx].set(ptag_s)
     mask32 = jnp.uint64(0xFFFFFFFF)
-    confirm = (
-        jnp.zeros((nb * BUCKET_SLOTS, 4), jnp.uint32)
-        .at[flat_idx, 0].set((h_s & mask32).astype(jnp.uint32))
-        .at[flat_idx, 1].set((h_s >> jnp.uint64(32)).astype(jnp.uint32))
-        .at[flat_idx, 2].set((p_s & mask32).astype(jnp.uint32))
-        .at[flat_idx, 3].set((p_s >> jnp.uint64(32)).astype(jnp.uint32))
+    # one whole-row scatter: chained per-column .at[].set on a multi-GB plane
+    # materializes a copy per column (observed 16.9GB peak at 48M keys where
+    # the table itself is 2.1GB)
+    rows4 = jnp.stack(
+        [
+            (h_s & mask32).astype(jnp.uint32),
+            (h_s >> jnp.uint64(32)).astype(jnp.uint32),
+            (p_s & mask32).astype(jnp.uint32),
+            (p_s >> jnp.uint64(32)).astype(jnp.uint32),
+        ],
+        axis=1,
     )
+    confirm = jnp.zeros((nb * BUCKET_SLOTS, 4), jnp.uint32).at[flat_idx].set(rows4)
     return ptags.reshape(nb, BUCKET_SLOTS), confirm, overflow
 
 

@@ -114,3 +114,35 @@ def test_upgrade_db(tmp_path, rng):
     _, _, ref_off = read_index(os.path.join(DATA, "database.idx"))
     assert idx_type == 2
     np.testing.assert_array_equal(off2, ref_off)
+
+
+def test_get_kmers_tool(tmp_path, capsys):
+    """get_kmers equivalent: every emitted k-mer/taxa line is consistent with
+    a brute-force per-sequence extraction over the fixture library."""
+    from krakenuniq_tpu.cli.tools import get_kmers_main
+    from krakenuniq_tpu.build.db_build import extract_canonical_kmers, resolve_seq_taxid
+    from krakenuniq_tpu.formats import read_kdb, read_seqid2taxid
+    from krakenuniq_tpu.formats.seqio import read_sequences
+
+    out = tmp_path / "kmers.tsv"
+    rc = get_kmers_main([
+        "-d", os.path.join(DATA, "database.kdb"),
+        "-m", os.path.join(DATA, "seqid2taxid.map"),
+        "-F", os.path.join(DATA, "library.fna"),
+        "-o", str(out),
+    ])
+    assert rc == 0
+    hdr, _, _ = read_kdb(os.path.join(DATA, "database.kdb"))
+    seqmap = read_seqid2taxid(os.path.join(DATA, "seqid2taxid.map"))
+    want: dict[int, set[int]] = {}
+    for dna in read_sequences(os.path.join(DATA, "library.fna")):
+        t = resolve_seq_taxid(dna.id, seqmap)
+        if not t:
+            continue
+        for km in extract_canonical_kmers(dna.seq, hdr.k).tolist():
+            want.setdefault(int(km), set()).add(t)
+    got = {}
+    for line in open(out):
+        km, taxa = line.split("\t")
+        got[int(km)] = {int(x) for x in taxa.strip().split(",")}
+    assert got == want and len(got) > 0
