@@ -54,7 +54,9 @@ def main():
             z = np.load(cache, allow_pickle=True)
             keys, vals, offsets = z["keys"], z["vals"], z["offsets"]
             genomes = z["genomes"].item()
-            if "ptags" in z:
+            # only reuse a cached table whose layout matches the current code
+            # (2-slot compact layout: ptags [nb, 2])
+            if "ptags" in z and z["ptags"].shape[1] == 2:
                 cached_hash = (z["ptags"], z["confirm"], int(z["hash_lb"]))
             loaded = True
         except Exception as e:  # truncated by an interrupted save

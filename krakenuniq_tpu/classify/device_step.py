@@ -87,6 +87,9 @@ class StepConfig:
     # (keys, vals, vals_dense, offsets, bin_start))
     lookup_mode: str = "bsearch"
     hash_lbs: tuple = ()  # per-database bucket bits (static)
+    # per-database: True when the hash table stores raw 32-bit DB values (UID
+    # databases) instead of dense taxon ids; empty = all dense
+    raw_dbs: tuple = ()
     # False: skip the on-device tree resolution (used by the long-read path,
     # whose O(W^2) resolve would be quadratic in read length; the host
     # resolves from the returned per-k-mer taxa instead)
@@ -142,30 +145,50 @@ def classify_step_core(
     search = valid & ~kmer_ambig
     taxon = jnp.zeros((b, w), dtype=jnp.uint32)
     taxon_dense = jnp.zeros((b, w), dtype=jnp.int32)
+    found = jnp.zeros((b, w), dtype=bool)
     # hierarchical multi-DB: later DBs only fill lanes still unclassified
     # (classify.cpp:927-936)
     for db_i, plane in enumerate(db_planes):
-        remaining = search & (taxon == 0)
+        remaining = search & ~found
         if cfg.lookup_mode == "hash":
             ptags, confirm = plane
-            t_i, td_i = hash_lookup_kmers(
+            word = hash_lookup_kmers(
                 ptags, confirm, hashes, remaining, cfg.hash_lbs[db_i]
             )
+            if cfg.db_axis is not None:
+                # minimizer-range sharding: each k-mer's bin lives on exactly
+                # one shard (the invariant asserted by the reference's chunk
+                # merge, classify.cpp:447), so combining shard results is a
+                # plain sum
+                word = jax.lax.psum(word, cfg.db_axis)
+            raw = cfg.raw_dbs[db_i] if db_i < len(cfg.raw_dbs) else False
+            if raw:
+                taxon = jnp.where(remaining, word, taxon)
+            else:
+                taxon_dense = jnp.where(
+                    remaining, word.astype(jnp.int32), taxon_dense
+                )
+            found = found | (word != 0)
         else:
             keys, vals, vals_dense, offsets, bin_start = plane
             t_i, td_i = lookup_kmers(
                 keys, vals, vals_dense, offsets, canon, bins, remaining, cfg.n_iter, bin_start
             )
-        if cfg.db_axis is not None:
-            # minimizer-range sharding: each k-mer's bin lives on exactly one
-            # shard (the invariant asserted by the reference's chunk merge,
-            # classify.cpp:447), so combining shard results is a plain sum
-            t_i = jax.lax.psum(t_i, cfg.db_axis)
-            td_i = jax.lax.psum(td_i, cfg.db_axis)
-        taxon = jnp.where(remaining, t_i, taxon)
-        taxon_dense = jnp.where(remaining, td_i, taxon_dense)
+            if cfg.db_axis is not None:
+                t_i = jax.lax.psum(t_i, cfg.db_axis)
+                td_i = jax.lax.psum(td_i, cfg.db_axis)
+            taxon = jnp.where(remaining, t_i, taxon)
+            taxon_dense = jnp.where(remaining, td_i, taxon_dense)
+            found = found | (t_i != 0)
 
-    hit = taxon != 0
+    if cfg.lookup_mode == "hash":
+        # dense-valued DBs store only the dense id; recover original taxids
+        # for the hit-list/output planes (taxid_table[0] == 0, so misses map
+        # to 0). XLA DCEs this gather when no fetched output consumes taxon.
+        mapped = jnp.take(taxid_table, taxon_dense).astype(jnp.uint32)
+        taxon = jnp.where(taxon == 0, mapped, taxon)
+
+    hit = found
 
     if cfg.quick:
         # stop after min_hits DB hits (classify.cpp:941-963): a k-mer position

@@ -221,6 +221,7 @@ class Classifier:
             ),
             lookup_mode="hash" if use_hash else "bsearch",
             hash_lbs=tuple(db.hash_lb for db in self.dbs) if use_hash else (),
+            raw_dbs=tuple(db.store_raw for db in self.dbs) if use_hash else (),
         )
         # compact RLE rows (dense taxon ids, 40B/read): the device->host link
         # is the pipeline bottleneck, so fetch bytes are the cost model; UID

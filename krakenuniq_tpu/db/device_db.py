@@ -29,10 +29,13 @@ from .hash_table import build_hash_table
 
 @dataclasses.dataclass
 class DeviceDB:
-    keys: jax.Array  # uint64 [N]
-    vals: jax.Array  # uint32 [N]
-    vals_dense: jax.Array  # int32 [N]
-    offsets: jax.Array  # int64 [bins_owned + 1], relative to key_start
+    # In hash mode (the default) these four planes stay HOST-side numpy --
+    # only the compact hash table occupies HBM (24B/key instead of 40B);
+    # they are device arrays only when use_hash=False (bsearch lookups).
+    keys: object  # uint64 [N]
+    vals: object  # uint32 [N]
+    vals_dense: object  # int32 [N]
+    offsets: object  # int64 [bins_owned + 1], relative to key_start
     k: int
     nt: int
     idx_type: int
@@ -41,8 +44,9 @@ class DeviceDB:
     bin_start: int = 0  # first minimizer bin owned by this shard
     key_start: int = 0  # global pair index of keys[0]
     # bucketed hash table (db/hash_table.py); the default device lookup path
-    hash_table: tuple | None = None  # (ptags u32 [nb,4], confirm u32 [nb*4,4])
+    hash_table: tuple | None = None  # (ptags u32 [nb,2], confirm u32 [nb*2,2])
     hash_lb: int = 0
+    store_raw: bool = False  # hash value word = raw DB value (UID databases)
 
     @property
     def n_bins(self) -> int:
@@ -68,11 +72,15 @@ def build_device_db(
     idx_type: int = 2,
     device=None,
     use_hash: bool = True,
+    store_raw: bool = False,
 ) -> DeviceDB:
     offsets = np.asarray(offsets, dtype=np.int64)
     bin_sizes = np.diff(offsets)
     max_bin = int(bin_sizes.max()) if len(bin_sizes) else 0
-    if taxonomy is not None:
+    if store_raw:
+        # UID databases: values are set ids, not taxids -- no dense mapping
+        vals_dense = np.zeros(len(vals), dtype=np.int32)
+    elif taxonomy is not None:
         vals_dense = taxonomy.dense_index(vals)
         unknown = (vals_dense == 0) & (vals != 0)
         if unknown.any():
@@ -86,22 +94,23 @@ def build_device_db(
             )
     else:
         vals_dense = np.zeros(len(vals), dtype=np.int32)
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    vals_dense = np.ascontiguousarray(vals_dense, dtype=np.int32)
     htable, hlb = (None, 0)
     if use_hash:
         (ptags, confirm), hlb = build_hash_table(
-            np.ascontiguousarray(keys, dtype=np.uint64),
-            np.ascontiguousarray(vals, dtype=np.uint32),
-            np.ascontiguousarray(vals_dense, dtype=np.int32),
+            keys, vals, vals_dense, store_raw=store_raw
         )
-        put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
-        htable = (put(ptags), put(confirm))
-    dk, dv, dvd, doff = _device_put_planes(
-        np.ascontiguousarray(keys, dtype=np.uint64),
-        np.ascontiguousarray(vals, dtype=np.uint32),
-        np.ascontiguousarray(vals_dense, dtype=np.int32),
-        offsets,
-        device,
-    )
+        if device is not None:
+            ptags = jax.device_put(ptags, device)
+            confirm = jax.device_put(confirm, device)
+        htable = (ptags, confirm)
+        # the sorted planes stay on host: the lookup never touches them, and
+        # dropping them from HBM nearly doubles the database capacity per chip
+        dk, dv, dvd, doff = keys, vals, vals_dense, offsets
+    else:
+        dk, dv, dvd, doff = _device_put_planes(keys, vals, vals_dense, offsets, device)
     return DeviceDB(
         keys=dk,
         vals=dv,
@@ -114,6 +123,7 @@ def build_device_db(
         max_bin=max_bin,
         hash_table=htable,
         hash_lb=hlb,
+        store_raw=store_raw,
     )
 
 
@@ -134,6 +144,7 @@ def load_database_dir(
     hdr, keys, vals = read_kdb(os.path.join(db_dir, kdb_name))
     idx_type, nt, offsets = read_index(os.path.join(db_dir, "database.idx"))
     db = build_device_db(
-        keys, vals, offsets, k=hdr.k, nt=nt, taxonomy=taxonomy, idx_type=idx_type, device=device
+        keys, vals, offsets, k=hdr.k, nt=nt, taxonomy=taxonomy, idx_type=idx_type,
+        device=device, store_raw=uid_database,
     )
     return db, taxonomy

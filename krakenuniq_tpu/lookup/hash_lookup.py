@@ -1,13 +1,18 @@
-"""Device-side hash-table k-mer lookup: three narrow u32 row-gathers.
+"""Device-side hash-table k-mer lookup: three 8-byte u32 row-gathers.
 
 See db/hash_table.py for the two-level (ptags, confirm) layout. Measured on
 TPU v5e, XLA's random row-gather costs ~0.37 ns per BYTE fetched, so the
-probe touches 48B/query: two 16B partial-tag rows (the two candidate
-buckets), then the 16B confirm row (full 64-bit hash + taxid + dense taxid)
-of the first screened slot. The full-hash compare makes the result exact;
-the build guarantees the first screened slot is the right one for every
-resident key (self-validated). The query's murmur hash doubles as the probe
-value, so canonical k-mers never need to be fetched or compared.
+probe touches 24B/query: two 8B partial-tag rows (the two candidate
+buckets), then the 8B confirm row (hash_lo + value word) of the first
+screened slot. The confirm compare makes a false accept require a
+2^-(64+lb)-probability coincidence (hash_table.py docstring); the build
+guarantees the first screened slot is the right one for every resident key
+(self-validated). The query's murmur hash doubles as the probe value, so
+canonical k-mers never need to be fetched or compared.
+
+The value word is the dense taxon id for normal databases (mapped back to
+the original taxid space through taxid_table by the classify step) or the
+raw 32-bit DB value for UID databases.
 """
 
 from __future__ import annotations
@@ -22,7 +27,7 @@ from ..db.hash_table import BUCKET_SLOTS, GOLDEN
 
 
 def _probe_rows(ptags, confirm, h, lb: int):
-    """Shared probe: returns (found, confirm_row[ N,4 ])."""
+    """Shared probe: returns (found, value_word) per query."""
     shift = np.uint64(64 - lb)
     hg = h * GOLDEN
     r1 = (h >> shift).astype(jnp.int32)
@@ -43,34 +48,27 @@ def _probe_rows(ptags, confirm, h, lb: int):
         has1, r1 * BUCKET_SLOTS + c1, r2 * BUCKET_SLOTS + c2
     )
     crow = jnp.take(confirm, flat, axis=0)
-    ok = (
-        (has1 | has2)
-        & (crow[:, 0] == (h & np.uint64(0xFFFFFFFF)).astype(jnp.uint32))
-        & (crow[:, 1] == (h >> np.uint64(32)).astype(jnp.uint32))
-    )
-    return ok, crow
+    ok = (has1 | has2) & (crow[:, 0] == (h & np.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+    return ok, crow[:, 1]
 
 
 def probe_values(ptags, confirm, hashes, lb: int):
-    """Raw probe for the build-time self check: uint64 dense<<32|taxid per
+    """Raw probe for the build-time self check: the stored u32 value word per
     hash, 0 on miss."""
-    ok, crow = _probe_rows(ptags, confirm, hashes.reshape(-1), lb)
-    val = crow[:, 2].astype(jnp.uint64) | (crow[:, 3].astype(jnp.uint64) << jnp.uint64(32))
-    return jnp.where(ok, val, jnp.uint64(0)).reshape(hashes.shape)
+    ok, val = _probe_rows(ptags, confirm, hashes.reshape(-1), lb)
+    return jnp.where(ok, val, jnp.uint32(0)).reshape(hashes.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("lb",))
 def hash_lookup_kmers(
-    ptags: jax.Array,  # uint32 [n_buckets, 4]
-    confirm: jax.Array,  # uint32 [n_buckets * 4, 4]
+    ptags: jax.Array,  # uint32 [n_buckets, 2]
+    confirm: jax.Array,  # uint32 [n_buckets * 2, 2]
     hashes: jax.Array,  # uint64 [...] murmur3_finalizer(canonical k-mer)
     valid: jax.Array,  # bool [...]
     lb: int,
 ):
-    """Returns (taxon uint32, taxon_dense int32); 0 where missing/invalid."""
+    """Returns the stored u32 value word per lane; 0 where missing/invalid."""
     shape = hashes.shape
-    ok, crow = _probe_rows(ptags, confirm, hashes.reshape(-1), lb)
+    ok, val = _probe_rows(ptags, confirm, hashes.reshape(-1), lb)
     ok = ok & valid.reshape(-1)
-    taxon = jnp.where(ok, crow[:, 2], 0).astype(jnp.uint32)
-    taxon_dense = jnp.where(ok, crow[:, 3], 0).astype(jnp.int32)
-    return taxon.reshape(shape), taxon_dense.reshape(shape)
+    return jnp.where(ok, val, jnp.uint32(0)).reshape(shape)

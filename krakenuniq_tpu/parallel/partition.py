@@ -89,8 +89,8 @@ def shard_db_planes(
 class ShardedHashPlanes:
     """Stacked per-shard two-level hash tables (db/hash_table.py layout)."""
 
-    ptags: object  # uint32 [S, n_buckets, 4] (device array)
-    confirm: object  # uint32 [S, n_buckets * 4, 4] (device array)
+    ptags: object  # uint32 [S, n_buckets, 2] (device array)
+    confirm: object  # uint32 [S, n_buckets * 2, 2] (device array)
     lb: int
     bounds: list  # minimizer-bin ranges per shard (for bookkeeping)
 

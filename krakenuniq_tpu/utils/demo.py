@@ -4,20 +4,19 @@ Used by __graft_entry__ and bench.py to exercise the full classify step at
 arbitrary scale: synthetic genomes under a small taxonomy, the same
 canonical-k-mer/minimizer layout as a real database.
 
-The heavy steps (k-mer extraction, dedup, scrambled-minimizer binning,
-sorting) run on the device -- on weak hosts the numpy equivalent takes
-minutes for multi-million-k-mer databases.
+The build runs entirely on HOST numpy: a k-iteration shift cascade packs all
+windows at once, so a 4.8M-k-mer database takes seconds. (An earlier device
+version was algorithmically fast but spent minutes in XLA compiles and
+transfers on remote-transport environments -- the demo DB is bench warmup,
+so host determinism and zero compile cost win.)
 """
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from ..kmer import ops as kops
 from ..taxonomy import Taxonomy
-from ..utils.bits import INDEX2_XOR_MASK
+from ..utils import bits
 
 _BASES_B = np.frombuffer(b"ACGT", dtype=np.uint8)
 
@@ -46,17 +45,15 @@ def make_demo_taxonomy(n_species: int) -> tuple[Taxonomy, list[int]]:
     return tax, species
 
 
-def _minimizers_from_kmers(kmers: jax.Array, k: int, nt: int) -> jax.Array:
-    """bin_key over packed k-mers (krakendb.cpp:182-196), device version."""
-    mask = np.uint64((1 << (2 * nt)) - 1)
-    xm = np.uint64(INDEX2_XOR_MASK) & mask
-    best = jnp.full(kmers.shape, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    x = kmers
-    for _ in range(k - nt + 1):
-        cand = xm ^ kops.canonical_representation(x & mask, nt)
-        best = jnp.minimum(best, cand)
-        x = x >> np.uint64(2)
-    return best
+def _host_pack_windows(codes: np.ndarray, k: int) -> np.ndarray:
+    """All k-mer windows of 2-bit codes, packed into uint64 (host numpy)."""
+    s, l = codes.shape
+    w = l - k + 1
+    kmers = np.zeros((s, w), dtype=np.uint64)
+    for i in range(k):
+        kmers <<= np.uint64(2)
+        kmers |= codes[:, i : i + w].astype(np.uint64)
+    return kmers
 
 
 def make_demo_db(
@@ -69,40 +66,31 @@ def make_demo_db(
     """Returns (keys, vals, offsets, taxonomy, genomes_by_taxid) with keys
     sorted in reference (minimizer-bin, key) order."""
     tax, species = make_demo_taxonomy(n_species)
-    # genome codes generated on host (tiny data; the device threefry kernels
-    # are disproportionately expensive to compile on remote transports)
     rng = np.random.default_rng(seed)
     host_codes = rng.integers(0, 4, size=(n_species, genome_len), dtype=np.uint8)
-    codes = jax.device_put(host_codes)
 
-    @jax.jit
-    def extract(codes):
-        kmers = kops.canonical_representation(kops.pack_windows(codes, k), k)
-        flat = kmers.reshape(-1)
-        sp = jnp.broadcast_to(
-            jnp.arange(n_species, dtype=jnp.uint32)[:, None], kmers.shape
-        ).reshape(-1)
-        skeys, svals = jax.lax.sort((flat, sp), num_keys=1)
-        first = jnp.concatenate([jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
-        bins = _minimizers_from_kmers(skeys, k, nt)
-        return skeys, svals, first, bins
+    kmers = bits.canonical_representation(
+        _host_pack_windows(host_codes, k).reshape(-1), k
+    )
+    sp = np.broadcast_to(
+        np.arange(n_species, dtype=np.uint32)[:, None],
+        (n_species, genome_len - k + 1),
+    ).reshape(-1)
+    # sort by key with species order as tiebreak (first genome wins ties --
+    # the same dedup the earlier stable device sort produced)
+    order = np.lexsort((sp, kmers))
+    skeys = kmers[order]
+    ssp = sp[order]
+    first = np.concatenate([[True], skeys[1:] != skeys[:-1]])
+    keys = skeys[first]
+    sp = ssp[first]
 
-    skeys, svals, first, bins = extract(codes)
-    host_first = np.asarray(first)
-    keys = np.asarray(skeys)[host_first]
-    sp = np.asarray(svals)[host_first]
-    b = np.asarray(bins)[host_first]
-
-    @jax.jit
-    def sort_by_bin(keys, b, sp):
-        sb, sk, ssp = jax.lax.sort((b, keys, sp), num_keys=2)
-        counts = jnp.bincount(sb.astype(jnp.int32), length=4**nt)
-        return sk, ssp, counts
-
-    sk, ssp, counts = sort_by_bin(keys, b, sp)
-    keys = np.asarray(sk)
-    sp = np.asarray(ssp)
-    offsets = np.concatenate([[0], np.cumsum(np.asarray(counts))]).astype(np.int64)
+    b = bits.bin_key(keys, k, nt)
+    order = np.lexsort((keys, b))
+    keys = keys[order]
+    sp = sp[order]
+    counts = np.bincount(b.astype(np.int64), minlength=4**nt)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     vals = np.asarray(species, dtype=np.uint32)[sp]
 
     genomes = {}

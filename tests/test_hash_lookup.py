@@ -14,29 +14,47 @@ def test_build_and_lookup(rng, n):
     vals = rng.integers(1, 1 << 31, size=len(keys), dtype=np.uint32)
     vals_dense = rng.integers(1, 1 << 20, size=len(keys)).astype(np.int32)
     (ptags, confirm), lb = build_hash_table(keys, vals, vals_dense)
-    # every key's full hash is stored exactly once in the confirm plane
+    # every key's value word (dense) is stored exactly once in the confirm
+    # plane, alongside the low 32 bits of its murmur hash
     confirm = np.asarray(confirm)
-    full = confirm[:, 0].astype(np.uint64) | (confirm[:, 1].astype(np.uint64) << np.uint64(32))
-    stored = np.sort(full[full != 0])
-    np.testing.assert_array_equal(stored, np.sort(murmur3_finalizer(keys)))
+    occupied = (confirm != 0).any(axis=1)
+    np.testing.assert_array_equal(
+        np.sort(confirm[occupied, 1]), np.sort(vals_dense.astype(np.uint32))
+    )
+    np.testing.assert_array_equal(
+        np.sort(confirm[occupied, 0]),
+        np.sort((murmur3_finalizer(keys) & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+    )
 
     # queries: all keys + misses
     misses = rng.integers(0, 1 << 62, size=1000, dtype=np.uint64)
     misses = misses[~np.isin(misses, keys)]
     q = np.concatenate([keys, misses])
-    t, td = hash_lookup_kmers(
-        ptags, confirm, murmur3_finalizer(q), np.ones(len(q), bool), lb
+    w = np.asarray(
+        hash_lookup_kmers(ptags, confirm, murmur3_finalizer(q), np.ones(len(q), bool), lb)
     )
-    t, td = np.asarray(t), np.asarray(td)
-    np.testing.assert_array_equal(t[: len(keys)], vals)
-    np.testing.assert_array_equal(td[: len(keys)], vals_dense)
-    assert (t[len(keys):] == 0).all()
+    np.testing.assert_array_equal(w[: len(keys)].astype(np.int32), vals_dense)
+    assert (w[len(keys):] == 0).all()
     # invalid lanes return 0
-    t2, _ = hash_lookup_kmers(
+    w2 = hash_lookup_kmers(
         ptags, confirm, murmur3_finalizer(q[: len(keys)]),
         np.zeros(len(keys), bool), lb,
     )
-    assert (np.asarray(t2) == 0).all()
+    assert (np.asarray(w2) == 0).all()
+
+
+def test_store_raw_values(rng):
+    """UID databases store the raw 32-bit value word instead of dense ids."""
+    keys = np.unique(rng.integers(0, 1 << 62, size=5000, dtype=np.uint64))
+    vals = rng.integers(1, 1 << 31, size=len(keys), dtype=np.uint32)
+    vals_dense = np.zeros(len(keys), dtype=np.int32)
+    (ptags, confirm), lb = build_hash_table(keys, vals, vals_dense, store_raw=True)
+    w = np.asarray(
+        hash_lookup_kmers(
+            ptags, confirm, murmur3_finalizer(keys), np.ones(len(keys), bool), lb
+        )
+    )
+    np.testing.assert_array_equal(w, vals)
 
 
 def test_zero_hash_key_is_exact(rng):
@@ -68,11 +86,10 @@ def test_zero_hash_key_is_exact(rng):
     vd = np.arange(1, len(keys) + 1, dtype=np.int32)
     (ptags, confirm), lb = build_hash_table(keys, vals, vd)
     pos = int(np.searchsorted(keys, k0))
-    t, td = hash_lookup_kmers(
+    w = hash_lookup_kmers(
         ptags, confirm, murmur3_finalizer(np.asarray([k0])), np.ones(1, bool), lb
     )
-    assert int(np.asarray(t)[0]) == int(vals[pos])
-    assert int(np.asarray(td)[0]) == int(vd[pos])
+    assert int(np.asarray(w)[0]) == int(vd[pos])
 
 
 def test_matches_bsearch_on_golden():
@@ -97,6 +114,8 @@ def test_matches_bsearch_on_golden():
     )
     h = murmur3_finalizer(np.asarray(canon))
     ptags, confirm = db.hash_table
-    t2, td2 = hash_lookup_kmers(ptags, confirm, h, valid, db.hash_lb)
-    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
-    np.testing.assert_array_equal(np.asarray(td1), np.asarray(td2))
+    w = np.asarray(hash_lookup_kmers(ptags, confirm, h, valid, db.hash_lb))
+    np.testing.assert_array_equal(np.asarray(td1), w.astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(t1), tax.taxids.astype(np.uint32)[w]
+    )
