@@ -55,9 +55,13 @@ def main():
             keys, vals, offsets = z["keys"], z["vals"], z["offsets"]
             genomes = z["genomes"].item()
             # only reuse a cached table whose layout matches the current code
-            # (2-slot compact layout: ptags [nb, 2])
-            if "ptags" in z and z["ptags"].shape[1] == 2:
-                cached_hash = (z["ptags"], z["confirm"], int(z["hash_lb"]))
+            # (2-slot compact layout; a flat interleaved cache reshapes to it)
+            if "ptags" in z and z["ptags"].dtype == np.uint32:
+                pt, cf = z["ptags"], z["confirm"]
+                if pt.ndim == 1:
+                    pt, cf = pt.reshape(-1, 2), cf.reshape(-1, 2)
+                if pt.ndim == 2 and pt.shape[1] == 2:
+                    cached_hash = (pt, cf, int(z["hash_lb"]))
             loaded = True
         except Exception as e:  # truncated by an interrupted save
             print(f"bench db cache unreadable ({e}); rebuilding", file=sys.stderr)

@@ -1,9 +1,9 @@
 """Bucketed two-choice hash table for the device k-mer lookup.
 
-Motivation (measured on TPU v5e): XLA's row-gather cost is ~linear in the
-row BYTES fetched (~0.37 ns/B, ~3 ns for an 8B row) and only weakly in the
-index count, so the layout minimizes bytes touched per query. The table is
-two u32 planes of 8-byte rows probed in two levels:
+Motivation (measured on TPU v5e): XLA's random row-gather from a [N, 2] u32
+operand is the ONLY fast random-access form (~2-3 ns/row; small tables are
+even prefetched whole into VMEM). The table is two u32 planes of 8-byte rows
+probed in two levels:
 
   ptags:   uint32 [n_buckets, 2]      partial tag per slot (screen)
   confirm: uint32 [n_buckets * 2, 2]  (hash_lo, value) per slot
@@ -13,6 +13,22 @@ first matching slot, then gathers that slot's confirm row (8B) and accepts
 only when the confirm hash_lo word also matches -- 24B/query (the previous
 4-slot/full-hash layout cost 48B/query and 40B/key; this one is <= 24B/key
 at the sizing below).
+
+Layout findings that fix this design (all measured on v5e, classify-step
+context, 491k queries):
+  - [N, 2] u32 resident planes are stored DENSE by XLA:TPU (layout
+    {0,1:T(2,128)}, i.e. pairs along sublanes) -- there is no lane padding
+    for entry parameters, and row-gathers from them take the fast path.
+  - every alternative probed slower: flat u32 [2N] element-gathers and
+    emulated-u64 [N] word-gathers ~8.5 ns/element (+20 ms/step); a
+    lane-packed [M, 128] (1,2)-slice gather the same; full (1,128)-row
+    gathers ~230 ns/row. TPU has no native 64-bit lanes, so u64 packing
+    also drags the whole compare pipeline through emulation.
+  - what must NOT exist is a [N, 2] u32 value produced by on-device
+    scatter/reshape: those materialize in a (8,128)-tiled buffer whose
+    lane-padded minor dimension blows up 64x (observed: a 512MB confirm
+    plane allocating 32GB at 48M keys). The planes are therefore built on
+    HOST with numpy scatters and only ever enter the device via device_put.
 
 Keys are addressed by h = murmur3_finalizer(key) (a BIJECTION on uint64, so
 storing/comparing mixed hashes loses nothing; the HLL path computes the same
@@ -39,19 +55,17 @@ to their first-choice bucket so they are found ahead of empty slots (which
 read as ptag 0; an empty confirm row only accepts h_lo == 0 and then
 returns value 0 = miss anyway).
 
-Placement runs on HOST as a vectorized batch cuckoo insertion (claim-verify
-rounds with eviction; the active set shrinks geometrically, so the cost is a
-few full-array numpy passes). The device's role is one fused dispatch:
-scatter the planes and self-check every key. Earlier designs iterated
-rebalance sweeps ON device; a 4.8M-key placement cost 36s of device time
-because each sweep re-sorted and re-scattered ALL keys -- the host walk
-touches only unplaced keys, which is O(n) work total instead of O(n) per
-sweep.
+Placement AND plane construction run on HOST as vectorized numpy passes
+(batch cuckoo insertion: claim-verify rounds with eviction; the active set
+shrinks geometrically). The device's only build-time role is the final
+self-check probe -- one fused gather dispatch over all keys, using the same
+probe as the classify step. Earlier designs scattered the planes ON device;
+besides the 64x OOM above, the scatter program's remote compile alone cost
+40-350s per (shape, lb) variant, where the numpy scatter is ~1s per 50M
+keys.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -131,50 +145,35 @@ def _host_place(hashes: np.ndarray, lb: int, max_rounds: int = 400):
     return None
 
 
-def _group_rank(sa, iota):
-    """Rank within equal-value groups of a sorted array, via a cummax of
-    group-start positions."""
-    is_start = jnp.concatenate([jnp.ones(1, bool), sa[1:] != sa[:-1]])
-    start_idx = jax.lax.cummax(jnp.where(is_start, iota, -1))
-    return iota - start_idx
-
-
-@functools.partial(jax.jit, static_argnames=("lb",))
-def _finalize_table(assign, hashes, values, lb: int):
-    """Single fused device dispatch: scatter placed keys into the
-    (ptags, confirm) planes (packing occupants ahead of empty slots within
-    each bucket) and self-check that the probe finds every key. Returns
-    (ptags, confirm, n_bad)."""
-    from ..lookup.hash_lookup import probe_values
-
-    n = hashes.shape[0]
+def _host_planes(assign, hashes, values, lb: int):
+    """Host numpy construction of the (ptags, confirm) planes (packing
+    occupants ahead of empty slots within each bucket)."""
     nb = 1 << lb
-    iota = jnp.arange(n, dtype=jnp.int32)
-    order = jnp.argsort(assign, stable=True)
-    sa = jnp.take(assign, order)
-    rank = _group_rank(sa, iota)
-    rows = sa.astype(jnp.int64)
-    cols = jnp.minimum(rank, BUCKET_SLOTS - 1).astype(jnp.int64)
+    order = np.argsort(assign, kind="stable")
+    sa = assign[order]
+    # rank within each equal-assign group
+    first = np.concatenate([[True], sa[1:] != sa[:-1]])
+    start = np.maximum.accumulate(np.where(first, np.arange(len(sa)), -1))
+    rank = np.arange(len(sa)) - start
+    rows = sa.astype(np.int64)
+    cols = np.minimum(rank, BUCKET_SLOTS - 1).astype(np.int64)
     flat_idx = rows * BUCKET_SLOTS + cols
 
-    h_s = jnp.take(hashes, order)
-    v_s = jnp.take(values, order)
-    b1_s = (h_s >> jnp.uint64(64 - lb)).astype(jnp.int64)
+    h_s = hashes[order]
+    v_s = values[order]
+    b1_s = (h_s >> np.uint64(64 - lb)).astype(np.int64)
     # stored tag matches the probe value of the choice that placed the key;
     # the confirm word is always the ORIGINAL hash's low 32 bits (see module
     # docstring for why that beats storing the probe value's low bits)
-    hc = jnp.where(rows == b1_s, h_s, h_s * GOLDEN)
-    ptag_s = partial_tags(hc, lb)
+    hc = np.where(rows == b1_s, h_s, h_s * GOLDEN)
+    ptag_s = ((hc << np.uint64(lb)) >> np.uint64(32)).astype(np.uint32)
 
-    ptags = jnp.zeros(nb * BUCKET_SLOTS, jnp.uint32).at[flat_idx].set(ptag_s)
-    rows2 = jnp.stack(
-        [(h_s & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), v_s], axis=1
-    )
-    confirm = jnp.zeros((nb * BUCKET_SLOTS, 2), jnp.uint32).at[flat_idx].set(rows2)
-    ptags = ptags.reshape(nb, BUCKET_SLOTS)
-    got = probe_values(ptags, confirm, hashes, lb)
-    n_bad = jnp.sum(got != values, dtype=jnp.int32)
-    return ptags, confirm, n_bad
+    ptags = np.zeros(nb * BUCKET_SLOTS, np.uint32)
+    ptags[flat_idx] = ptag_s
+    confirm = np.zeros((nb * BUCKET_SLOTS, 2), np.uint32)
+    confirm[flat_idx, 0] = (h_s & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    confirm[flat_idx, 1] = v_s
+    return ptags.reshape(nb, BUCKET_SLOTS), confirm
 
 
 def build_hash_table(
@@ -184,6 +183,7 @@ def build_hash_table(
     load_factor: float = 0.6,
     force_lb: int | None = None,
     store_raw: bool = False,
+    self_check: bool = True,
 ):
     """Returns ((ptags, confirm) DEVICE planes, lb); see module docstring.
 
@@ -196,7 +196,11 @@ def build_hash_table(
     placement of 2-slot two-choice buckets succeeds reliably up to the
     ~0.897 theoretical threshold. If placement or the exactness
     self-validation fails, the table is grown (at most twice) before giving
-    up. force_lb pins the size (used to stack uniformly-sized shard tables)."""
+    up. force_lb pins the size (used to stack uniformly-sized shard tables).
+    self_check=False skips the device probe (callers that keep planes on
+    host, e.g. cache writers, avoid the HBM round trip)."""
+    from ..lookup.hash_lookup import probe_values
+
     n = len(keys)
     hashes = murmur3_finalizer(np.ascontiguousarray(keys, dtype=np.uint64))
     values = np.asarray(vals if store_raw else vals_dense).astype(np.uint32)
@@ -209,18 +213,20 @@ def build_hash_table(
         )
         attempts = 3
     if lb > 30:
-        # flat confirm index must fit int32; tables this large exceed HBM anyway
+        # flat confirm row index must fit int32; larger tables exceed HBM anyway
         raise ValueError(f"hash table of 2^{lb} buckets is not supported")
-    dhashes = jax.device_put(hashes)
-    dvalues = jax.device_put(values)
     for _ in range(attempts):
         assign = _host_place(hashes, lb)
         if assign is not None:
-            ptags, confirm, n_bad = _finalize_table(
-                jax.device_put(assign), dhashes, dvalues, lb
-            )
-            if int(n_bad) == 0:
-                return (ptags, confirm), lb
+            ptags, confirm = _host_planes(assign, hashes, values, lb)
+            dptags = jax.device_put(ptags)
+            dconfirm = jax.device_put(confirm)
+            if not self_check:
+                return (dptags, dconfirm), lb
+            got = probe_values(dptags, dconfirm, jax.device_put(hashes), lb)
+            n_bad = int(jnp.sum(got != jax.device_put(values), dtype=jnp.int32))
+            if n_bad == 0:
+                return (dptags, dconfirm), lb
         lb += 1
     raise RuntimeError(
         f"hash table placement failed for {n} keys even at 2^{lb - 1} buckets"
