@@ -44,28 +44,27 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", 10))
 
     cache = os.path.expanduser(
-        f"~/.cache/kuniq_bench_db_{n_species}_{genome_len}_{k}_{nt}_v3.npz"
+        f"~/.cache/kuniq_bench_db_{n_species}_{genome_len}_{k}_{nt}_v4.npz"
     )
+    old_cache = cache.replace("_v4.npz", "_v3.npz")  # pre-fused layout: reuse
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     cached_hash = None
     loaded = False
-    if os.path.exists(cache):
+    for path in (cache, old_cache):
+        if loaded or not os.path.exists(path):
+            continue
         try:
-            z = np.load(cache, allow_pickle=True)
+            z = np.load(path, allow_pickle=True)
             keys, vals, offsets = z["keys"], z["vals"], z["offsets"]
             genomes = z["genomes"].item()
             # only reuse a cached table whose layout matches the current code
-            # (2-slot compact layout; a flat interleaved cache reshapes to it)
-            if "ptags" in z and z["ptags"].dtype == np.uint32:
-                pt, cf = z["ptags"], z["confirm"]
-                if pt.ndim == 1:
-                    pt, cf = pt.reshape(-1, 2), cf.reshape(-1, 2)
-                if pt.ndim == 2 and pt.shape[1] == 2:
-                    cached_hash = (pt, cf, int(z["hash_lb"]))
+            # (fused single plane, db/hash_table.py)
+            if "fused" in z and z["fused"].dtype == np.uint32:
+                cached_hash = (z["fused"], int(z["hash_lb"]))
             loaded = True
         except Exception as e:  # truncated by an interrupted save
             print(f"bench db cache unreadable ({e}); rebuilding", file=sys.stderr)
-            os.unlink(cache)
+            os.unlink(path)
     if loaded:
         from krakenuniq_tpu.utils.demo import make_demo_taxonomy
 
@@ -87,20 +86,20 @@ def main():
     max_bin = int(np.diff(offsets).max())
     t_ht = time.time()
     if cached_hash is not None:
-        ptags, confirm, hash_lb = cached_hash
+        fused, hash_lb = cached_hash
         print("hash table loaded from cache", file=sys.stderr)
     else:
         from krakenuniq_tpu.db.hash_table import build_hash_table
 
-        (ptags, confirm), hash_lb = build_hash_table(keys, vals, vals_dense)
-        ptags, confirm = np.asarray(ptags), np.asarray(confirm)
+        (dfused,), hash_lb = build_hash_table(keys, vals, vals_dense)
+        fused = np.asarray(dfused)
         np.savez_compressed(
             cache + ".tmp.npz", keys=keys, vals=vals, offsets=offsets,
             genomes=np.array(genomes, dtype=object),
-            ptags=ptags, confirm=confirm, hash_lb=np.int64(hash_lb),
+            fused=fused, hash_lb=np.int64(hash_lb),
         )
         os.replace(cache + ".tmp.npz", cache)  # atomic: survives interrupts
-        print(f"hash table: {(ptags.nbytes + confirm.nbytes)/1e6:.0f}MB, lb={hash_lb}, "
+        print(f"hash table: {fused.nbytes/1e6:.0f}MB, lb={hash_lb}, "
               f"built in {time.time()-t_ht:.1f}s", file=sys.stderr)
     cfg = StepConfig(
         k=k,
@@ -111,7 +110,7 @@ def main():
         hash_lbs=(hash_lb,),
     )
     root = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
-    planes = ((jax.device_put(ptags), jax.device_put(confirm)),)
+    planes = ((jax.device_put(fused),),)
     taxid_table = jax.device_put(tax.taxids.astype(np.uint32))
     targs = tuple(jax.device_put(x) for x in (tax.tin, tax.tout, tax.parent))
     codes = jax.device_put(enc.codes)

@@ -151,10 +151,8 @@ def classify_step_core(
     for db_i, plane in enumerate(db_planes):
         remaining = search & ~found
         if cfg.lookup_mode == "hash":
-            ptags, confirm = plane
-            word = hash_lookup_kmers(
-                ptags, confirm, hashes, remaining, cfg.hash_lbs[db_i]
-            )
+            # plane = (fused,) or (ptags, confirm); see db/hash_table.py
+            word = hash_lookup_kmers(plane, hashes, remaining, cfg.hash_lbs[db_i])
             if cfg.db_axis is not None:
                 # minimizer-range sharding: each k-mer's bin lives on exactly
                 # one shard (the invariant asserted by the reference's chunk

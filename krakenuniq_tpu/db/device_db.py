@@ -43,8 +43,10 @@ class DeviceDB:
     max_bin: int  # largest bin size (bounds the binary-search trip count)
     bin_start: int = 0  # first minimizer bin owned by this shard
     key_start: int = 0  # global pair index of keys[0]
-    # bucketed hash table (db/hash_table.py); the default device lookup path
-    hash_table: tuple | None = None  # (ptags u32 [nb,2], confirm u32 [nb*2,2])
+    # bucketed hash table (db/hash_table.py); the default device lookup path:
+    # (fused u32 [nb,4],) normally, (ptags u32 [nb,2], confirm u32 [nb*2,2])
+    # for raw-valued (UID) databases
+    hash_table: tuple | None = None
     hash_lb: int = 0
     store_raw: bool = False  # hash value word = raw DB value (UID databases)
 
@@ -99,13 +101,9 @@ def build_device_db(
     vals_dense = np.ascontiguousarray(vals_dense, dtype=np.int32)
     htable, hlb = (None, 0)
     if use_hash:
-        (ptags, confirm), hlb = build_hash_table(
-            keys, vals, vals_dense, store_raw=store_raw
-        )
+        htable, hlb = build_hash_table(keys, vals, vals_dense, store_raw=store_raw)
         if device is not None:
-            ptags = jax.device_put(ptags, device)
-            confirm = jax.device_put(confirm, device)
-        htable = (ptags, confirm)
+            htable = tuple(jax.device_put(p, device) for p in htable)
         # the sorted planes stay on host: the lookup never touches them, and
         # dropping them from HBM nearly doubles the database capacity per chip
         dk, dv, dvd, doff = keys, vals, vals_dense, offsets

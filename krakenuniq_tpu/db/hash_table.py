@@ -1,68 +1,73 @@
 """Bucketed two-choice hash table for the device k-mer lookup.
 
-Motivation (measured on TPU v5e): XLA's random row-gather from a [N, 2] u32
-operand is the ONLY fast random-access form (~2-3 ns/row; small tables are
-even prefetched whole into VMEM). The table is two u32 planes of 8-byte rows
-probed in two levels:
+Motivation (measured on TPU v5e): XLA's random row-gather from a small-minor
+u32 operand is the ONLY fast random-access form (~0.37 ns per byte fetched).
+The default table is ONE u32 plane of 16-byte rows probed in a single
+dependent round:
 
-  ptags:   uint32 [n_buckets, 2]      partial tag per slot (screen)
-  confirm: uint32 [n_buckets * 2, 2]  (hash_lo, value) per slot
+  fused: uint32 [n_buckets, 4]   rows [tag0, val0, tag1, val1]
 
-A query gathers its two candidate buckets' tag rows (2 x 8B), picks the
-first matching slot, then gathers that slot's confirm row (8B) and accepts
-only when the confirm hash_lo word also matches -- 24B/query (the previous
-4-slot/full-hash layout cost 48B/query and 40B/key; this one is <= 24B/key
-at the sizing below).
-
-Layout findings that fix this design (all measured on v5e, classify-step
-context, 491k queries):
-  - [N, 2] u32 resident planes are stored DENSE by XLA:TPU (layout
-    {0,1:T(2,128)}, i.e. pairs along sublanes) -- there is no lane padding
-    for entry parameters, and row-gathers from them take the fast path.
-  - every alternative probed slower: flat u32 [2N] element-gathers and
-    emulated-u64 [N] word-gathers ~8.5 ns/element (+20 ms/step); a
-    lane-packed [M, 128] (1,2)-slice gather the same; full (1,128)-row
-    gathers ~230 ns/row. TPU has no native 64-bit lanes, so u64 packing
-    also drags the whole compare pipeline through emulation.
-  - what must NOT exist is a [N, 2] u32 value produced by on-device
-    scatter/reshape: those materialize in a (8,128)-tiled buffer whose
-    lane-padded minor dimension blows up 64x (observed: a 512MB confirm
-    plane allocating 32GB at 48M keys). The planes are therefore built on
-    HOST with numpy scatters and only ever enter the device via device_put.
+A query gathers its two candidate buckets' rows (2 x 16B = 32B/query; both
+gathers are independent, so one memory round trip) and accepts a slot whose
+tag AND value-word high bits both match. The previous two-level layout
+(8B tag rows screened, then an 8B confirm row) touched 24B/query but in TWO
+dependent rounds; the fused row is ~20% faster end to end and 16B/bucket
+instead of 24B.
 
 Keys are addressed by h = murmur3_finalizer(key) (a BIJECTION on uint64, so
 storing/comparing mixed hashes loses nothing; the HLL path computes the same
 h anyway). Every key has two candidate buckets
     b1 = h >> (64 - lb)        b2 = (h * GOLDEN) >> (64 - lb)
-and its stored partial tag is bits [lb, lb+32) of h (if placed in b1) or of
-h * GOLDEN (if placed in b2) -- the bits just below the bucket index of the
-respective probe value, so a probe compares like against like. The confirm
-word is always the low 32 bits of the ORIGINAL h.
+Let hc be the probe value of the choice that placed the key (h for its
+first-choice bucket, h * GOLDEN for its second; both maps are bijections --
+GOLDEN is odd). The stored row encodes ALL 64 bits of hc plus which choice
+it was:
 
-Exactness: a first-choice-resident key's stored (bucket, tag, hash_lo)
-triple covers all 64 bits of h, so a query accepting such a slot has exactly
-the resident's hash. A second-choice resident stores lb+32 bits of h*GOLDEN
-plus the low 32 bits of h; a false accept therefore requires a query h
-satisfying two independent 32+-bit relations against some resident --
-probability 2^-(64+lb) per (query, resident) pair, i.e. < 2^-20 expected
-false positives over a pod-scale corpus (10^10 queries x 10^10 keys at
-lb >= 30). False NEGATIVES (the screen picking a decoy slot whose tag
-collides, hiding the real slot behind it) are possible with ~2^-32
-probability per resident key; `build_hash_table` therefore self-validates
-every key after placement and rebuilds at a larger size in the
-(astronomically rare) failure case. Keys whose partial tag is 0 are pinned
-to their first-choice bucket so they are found ahead of empty slots (which
-read as ptag 0; an empty confirm row only accepts h_lo == 0 and then
-returns value 0 = miss anyway).
+  tag  = bits [lb, lb+32) of hc                       (32 bits)
+  val  = choice << 31 | spare << V | dense_taxon      (V = lb - 1)
+         where spare = the low 64 - lb - 32 = 32 - lb bits of hc
 
-Placement AND plane construction run on HOST as vectorized numpy passes
-(batch cuckoo insertion: claim-verify rounds with eviction; the active set
-shrinks geometrically). The device's only build-time role is the final
-self-check probe -- one fused gather dispatch over all keys, using the same
-probe as the classify step. Earlier designs scattered the planes ON device;
-besides the 64x OOM above, the scatter program's remote compile alone cost
-40-350s per (shape, lb) variant, where the numpy scatter is ~1s per 50M
-keys.
+A probe of bucket r1 compares (tag, choice=0, spare of h); of r2 compares
+(tag, choice=1, spare of h * GOLDEN). An accept therefore implies the full
+64-bit hc -- and hence h itself -- matches: the lookup is EXACT, not
+probabilistic. (Without the choice bit a first-choice resident could collide
+with a second-choice probe at ~2^-64 per pair, which integrates to real
+false positives over a pod-scale corpus of 10^10 queries x 10^10 keys.)
+
+False negatives cannot occur either: every gathered slot is fully compared
+(no screen/confirm split to shadow behind), empty slots read as all-zero
+rows that only match a query whose h has bits [lb, 64) == 0 AND return
+taxon 0 = miss, and the one key pattern that could be shadowed by such an
+empty row (bits [lb, 64) of h all zero, at most one distinct key per bucket)
+is pinned to its first-choice bucket, where `_host_planes` packs occupants
+ahead of empties. `build_hash_table` still self-validates every key after
+placement (one fixed-shape chunked probe; guards build bugs) and rebuilds
+at a larger size on any mismatch.
+
+The taxon field must fit V = lb - 1 bits, so lb >= bit_length(max_value)+1;
+`build_hash_table` grows lb to satisfy it (a 2.6M-node NCBI taxonomy needs
+lb >= 23; any DB big enough to carry it sizes past that anyway). UID
+databases store raw 32-bit set ids with no spare bits to give -- they keep
+the two-level (ptags, confirm) layout:
+
+  ptags:   uint32 [n_buckets, 2]      partial tag per slot (screen)
+  confirm: uint32 [n_buckets * 2, 2]  (hash_lo, value) per slot
+
+with 2^-(64+lb)-probability false accepts (tag+bucket of hc plus the low
+32 bits of h) -- see `_probe_rows` in lookup/hash_lookup.py.
+
+Layout findings that fix this design (all measured on v5e, classify-step
+context): [N, small] u32 resident planes are stored DENSE by XLA:TPU
+(layout {0,1:T(2,128)}) and row-gathers from them take the fast path; flat
+u32 element-gathers and emulated-u64 word-gathers run ~8.5 ns/element;
+(1,128) full-row gathers ~230 ns/row. What must NOT exist is an [N, small]
+u32 value produced by on-device scatter/reshape: those materialize in an
+(8,128)-tiled buffer whose lane-padded minor dimension blows up 64x
+(observed: a 512MB plane allocating 32GB at 48M keys). Placement AND plane
+construction therefore run on HOST as vectorized numpy passes (batch cuckoo
+insertion; ~1s per 50M keys) and the planes enter the device via
+device_put; the device's only build-time role is the final self-check
+probe, chunked at a fixed shape so it compiles exactly once per process.
 """
 
 from __future__ import annotations
@@ -75,6 +80,7 @@ from ..utils.bits import murmur3_finalizer
 
 BUCKET_SLOTS = 2
 GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_SELF_CHECK_CHUNK = 1 << 21  # fixed probe shape: one compile per process
 
 
 def bucket_ids(h, lb: int):
@@ -84,8 +90,8 @@ def bucket_ids(h, lb: int):
 
 
 def partial_tags(h, lb: int):
-    """Bits [lb, lb+32) of the probe value: the screen tag for a bucket
-    derived from h's top lb bits."""
+    """Bits [lb, lb+32) of the probe value: the tag for a bucket derived
+    from h's top lb bits."""
     return ((h << np.uint64(lb)) >> np.uint64(32)).astype(jnp.uint32)
 
 
@@ -98,7 +104,8 @@ def _host_place(hashes: np.ndarray, lb: int, max_rounds: int = 400):
     minimum-index scatter (np.minimum.at), and winners displace any victim
     into the active set with the OTHER of its two buckets as the new target.
     The active set shrinks geometrically; keys whose first-choice tag is 0
-    are pinned to bucket b1 (see module docstring).
+    are pinned to bucket b1 (a superset of the empty-row shadow pattern the
+    fused layout needs pinned -- see module docstring).
 
     Returns int32 assigned-bucket-per-key, or None if placement failed
     (caller grows the table)."""
@@ -145,10 +152,10 @@ def _host_place(hashes: np.ndarray, lb: int, max_rounds: int = 400):
     return None
 
 
-def _host_planes(assign, hashes, values, lb: int):
-    """Host numpy construction of the (ptags, confirm) planes (packing
-    occupants ahead of empty slots within each bucket)."""
-    nb = 1 << lb
+def _slot_layout(assign, hashes, lb: int):
+    """Shared by both plane builders: per-key flat slot index (occupants
+    packed ahead of empty slots within each bucket), sorted-order views, and
+    the probe value hc of the choice that placed each key."""
     order = np.argsort(assign, kind="stable")
     sa = assign[order]
     # rank within each equal-assign group
@@ -160,12 +167,41 @@ def _host_planes(assign, hashes, values, lb: int):
     flat_idx = rows * BUCKET_SLOTS + cols
 
     h_s = hashes[order]
-    v_s = values[order]
     b1_s = (h_s >> np.uint64(64 - lb)).astype(np.int64)
-    # stored tag matches the probe value of the choice that placed the key;
-    # the confirm word is always the ORIGINAL hash's low 32 bits (see module
-    # docstring for why that beats storing the probe value's low bits)
-    hc = np.where(rows == b1_s, h_s, h_s * GOLDEN)
+    second = rows != b1_s
+    hc = np.where(second, h_s * GOLDEN, h_s)
+    return flat_idx, h_s, hc, second, order
+
+
+def _host_planes_fused(assign, hashes, values, lb: int):
+    """Host numpy construction of the fused plane (see module docstring)."""
+    nb = 1 << lb
+    v_bits = lb - 1
+    flat_idx, _h_s, hc, second, order = _slot_layout(assign, hashes, lb)
+    v_s = values[order].astype(np.uint32)
+    if len(v_s) and int(v_s.max()) >> v_bits:
+        raise ValueError(
+            f"value {int(v_s.max())} does not fit the {v_bits}-bit taxon field"
+        )
+    tag_s = ((hc << np.uint64(lb)) >> np.uint64(32)).astype(np.uint32)
+    spare = (hc & np.uint64((1 << (32 - lb)) - 1)).astype(np.uint32)
+    word = (
+        (second.astype(np.uint32) << np.uint32(31))
+        | (spare << np.uint32(v_bits))
+        | v_s
+    )
+    fused = np.zeros((nb * BUCKET_SLOTS, 2), np.uint32)
+    fused[flat_idx, 0] = tag_s
+    fused[flat_idx, 1] = word
+    return fused.reshape(nb, BUCKET_SLOTS * 2)
+
+
+def _host_planes_two(assign, hashes, values, lb: int):
+    """Host numpy construction of the two-level (ptags, confirm) planes used
+    by raw-valued (UID) tables."""
+    nb = 1 << lb
+    flat_idx, h_s, hc, _second, order = _slot_layout(assign, hashes, lb)
+    v_s = values[order]
     ptag_s = ((hc << np.uint64(lb)) >> np.uint64(32)).astype(np.uint32)
 
     ptags = np.zeros(nb * BUCKET_SLOTS, np.uint32)
@@ -174,6 +210,33 @@ def _host_planes(assign, hashes, values, lb: int):
     confirm[flat_idx, 0] = (h_s & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     confirm[flat_idx, 1] = v_s
     return ptags.reshape(nb, BUCKET_SLOTS), confirm
+
+
+def _self_check(planes, hashes, values, lb: int) -> int:
+    """Probe every key through the real lookup in fixed-shape chunks;
+    returns the number of mismatching keys."""
+    from ..lookup.hash_lookup import probe_values
+
+    n = len(hashes)
+    n_bad = 0
+    for s in range(0, n, _SELF_CHECK_CHUNK):
+        chunk = hashes[s : s + _SELF_CHECK_CHUNK]
+        want = values[s : s + _SELF_CHECK_CHUNK]
+        if len(chunk) < _SELF_CHECK_CHUNK:
+            pad = _SELF_CHECK_CHUNK - len(chunk)
+            # pad with a repeat of the first key: a valid probe, known value
+            chunk = np.concatenate([chunk, np.broadcast_to(hashes[:1], (pad,))])
+            want = np.concatenate([want, np.broadcast_to(values[:1], (pad,))])
+        got = probe_values(planes, jax.device_put(chunk), lb)
+        n_bad += int(jnp.sum(got != jax.device_put(want), dtype=jnp.int32))
+    return n_bad
+
+
+def min_lb_for(n_keys: int, max_value: int, load_factor: float = 0.6) -> int:
+    """Smallest bucket-bits satisfying both the load factor and the fused
+    layout's taxon-field width (max_value < 2^(lb-1))."""
+    lb = max(4, int(np.ceil(np.log2(max(n_keys, 2) / (BUCKET_SLOTS * load_factor)))))
+    return max(lb, int(max_value).bit_length() + 1)
 
 
 def build_hash_table(
@@ -185,11 +248,14 @@ def build_hash_table(
     store_raw: bool = False,
     self_check: bool = True,
 ):
-    """Returns ((ptags, confirm) DEVICE planes, lb); see module docstring.
+    """Returns (planes, lb): DEVICE plane tuple `(fused,)` -- or
+    `(ptags, confirm)` when store_raw -- plus the bucket bits; see module
+    docstring.
 
-    The stored per-key value word is the DENSE taxon id (the classify step
-    maps it back through taxid_table); `store_raw` stores the raw 32-bit DB
-    value instead (UID databases, whose values are set ids, not taxids).
+    The stored per-key value word's taxon field is the DENSE taxon id (the
+    classify step maps it back through taxid_table); `store_raw` stores the
+    raw 32-bit DB value instead (UID databases, whose values are set ids,
+    not taxids) in the two-level layout.
 
     load_factor = the MAX keys/slots ratio (power-of-two table sizing means
     the actual load lands in [load_factor/2, load_factor]); batch cuckoo
@@ -199,34 +265,40 @@ def build_hash_table(
     up. force_lb pins the size (used to stack uniformly-sized shard tables).
     self_check=False skips the device probe (callers that keep planes on
     host, e.g. cache writers, avoid the HBM round trip)."""
-    from ..lookup.hash_lookup import probe_values
-
     n = len(keys)
     hashes = murmur3_finalizer(np.ascontiguousarray(keys, dtype=np.uint64))
     values = np.asarray(vals if store_raw else vals_dense).astype(np.uint32)
+    vmax = int(values.max()) if n else 0
     if force_lb is not None:
         lb = force_lb
         attempts = 1
+        if not store_raw and vmax >> (lb - 1):
+            raise ValueError(
+                f"force_lb={lb} cannot hold value {vmax} in {lb - 1} bits"
+            )
     else:
-        lb = max(
-            4, int(np.ceil(np.log2(max(n, 2) / (BUCKET_SLOTS * load_factor))))
+        lb = (
+            max(4, int(np.ceil(np.log2(max(n, 2) / (BUCKET_SLOTS * load_factor)))))
+            if store_raw
+            else min_lb_for(n, vmax, load_factor)
         )
         attempts = 3
     if lb > 30:
-        # flat confirm row index must fit int32; larger tables exceed HBM anyway
+        # flat row index must fit int32; larger tables exceed HBM anyway
         raise ValueError(f"hash table of 2^{lb} buckets is not supported")
     for _ in range(attempts):
         assign = _host_place(hashes, lb)
         if assign is not None:
-            ptags, confirm = _host_planes(assign, hashes, values, lb)
-            dptags = jax.device_put(ptags)
-            dconfirm = jax.device_put(confirm)
-            if not self_check:
-                return (dptags, dconfirm), lb
-            got = probe_values(dptags, dconfirm, jax.device_put(hashes), lb)
-            n_bad = int(jnp.sum(got != jax.device_put(values), dtype=jnp.int32))
-            if n_bad == 0:
-                return (dptags, dconfirm), lb
+            if store_raw:
+                ptags, confirm = _host_planes_two(assign, hashes, values, lb)
+                planes = (jax.device_put(ptags), jax.device_put(confirm))
+            else:
+                fused = _host_planes_fused(assign, hashes, values, lb)
+                planes = (jax.device_put(fused),)
+            if not self_check or n == 0:
+                return planes, lb
+            if _self_check(planes, hashes, values, lb) == 0:
+                return planes, lb
         lb += 1
     raise RuntimeError(
         f"hash table placement failed for {n} keys even at 2^{lb - 1} buckets"

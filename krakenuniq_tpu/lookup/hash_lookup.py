@@ -1,18 +1,26 @@
-"""Device-side hash-table k-mer lookup: three 8-byte u32 row-gathers.
+"""Device-side hash-table k-mer lookup.
 
-See db/hash_table.py for the two-level (ptags, confirm) layout. Measured on
-TPU v5e, XLA's random row-gather costs ~0.37 ns per BYTE fetched, so the
-probe touches 24B/query: two 8B partial-tag rows (the two candidate
-buckets), then the 8B confirm row (hash_lo + value word) of the first
-screened slot. The confirm compare makes a false accept require a
-2^-(64+lb)-probability coincidence (hash_table.py docstring); the build
-guarantees the first screened slot is the right one for every resident key
-(self-validated). The query's murmur hash doubles as the probe value, so
-canonical k-mers never need to be fetched or compared.
+Default (fused) layout: one u32 [n_buckets, 4] plane of [tag0, val0, tag1,
+val1] rows (db/hash_table.py). The probe gathers the query's two candidate
+rows -- two INDEPENDENT 16B row-gathers, so a single memory round trip --
+and accepts a slot whose tag and value-word high bits (choice flag + spare
+hash bits) both match. The accepted (bucket, tag, choice, spare) tuple
+pins all 64 bits of the placing probe value, so the lookup is EXACT: a
+slot is accepted iff its key's murmur hash equals the query's (murmur's
+finalizer and the GOLDEN multiply are both bijections on uint64).
+Measured on TPU v5e, XLA's random row-gather costs ~0.37 ns per byte
+fetched: 32B/query here, with no dependent second round.
 
-The value word is the dense taxon id for normal databases (mapped back to
-the original taxid space through taxid_table by the classify step) or the
-raw 32-bit DB value for UID databases.
+Raw-valued (UID) tables keep the two-level (ptags, confirm) layout -- the
+32-bit value word has no spare bits -- probed as two 8B tag rows, then the
+8B confirm row of the first screened slot (24B/query, two dependent
+rounds); a false accept requires a 2^-(64+lb)-probability coincidence.
+
+The query's murmur hash doubles as the probe value, so canonical k-mers
+never need to be fetched or compared. The value word is the dense taxon id
+for normal databases (mapped back to the original taxid space through
+taxid_table by the classify step) or the raw 32-bit DB value for UID
+databases.
 """
 
 from __future__ import annotations
@@ -26,8 +34,40 @@ import numpy as np
 from ..db.hash_table import BUCKET_SLOTS, GOLDEN
 
 
+def _probe_fused(fused, h, lb: int):
+    """Fused single-plane probe: returns (found, taxon_field) per query."""
+    shift = np.uint64(64 - lb)
+    v_bits = lb - 1
+    hg = h * GOLDEN
+    r1 = (h >> shift).astype(jnp.int32)
+    r2 = (hg >> shift).astype(jnp.int32)
+    spare_mask = np.uint64((1 << (32 - lb)) - 1)
+
+    def expected(hc, choice_bit: int):
+        tag = ((hc << np.uint64(lb)) >> np.uint64(32)).astype(jnp.uint32)
+        hi = (hc & spare_mask).astype(jnp.uint32) << jnp.uint32(v_bits)
+        if choice_bit:
+            hi = hi | jnp.uint32(1 << 31)
+        return tag, hi
+
+    t1, hi1 = expected(h, 0)
+    t2, hi2 = expected(hg, 1)
+    row1 = jnp.take(fused, r1, axis=0)  # [n, 4]
+    row2 = jnp.take(fused, r2, axis=0)
+    tax_mask = jnp.uint32((1 << v_bits) - 1)
+    hi_mask = ~tax_mask
+
+    m1 = (row1[:, 0::2] == t1[:, None]) & ((row1[:, 1::2] & hi_mask) == hi1[:, None])
+    m2 = (row2[:, 0::2] == t2[:, None]) & ((row2[:, 1::2] & hi_mask) == hi2[:, None])
+    # exactness means at most one slot can match; max-combine is a select
+    v1 = jnp.max(jnp.where(m1, row1[:, 1::2] & tax_mask, jnp.uint32(0)), axis=1)
+    v2 = jnp.max(jnp.where(m2, row2[:, 1::2] & tax_mask, jnp.uint32(0)), axis=1)
+    ok = jnp.any(m1, axis=1) | jnp.any(m2, axis=1)
+    return ok, jnp.maximum(v1, v2)
+
+
 def _probe_rows(ptags, confirm, h, lb: int):
-    """Shared probe: returns (found, value_word) per query."""
+    """Two-level (raw/UID) probe: returns (found, value_word) per query."""
     shift = np.uint64(64 - lb)
     hg = h * GOLDEN
     r1 = (h >> shift).astype(jnp.int32)
@@ -52,23 +92,30 @@ def _probe_rows(ptags, confirm, h, lb: int):
     return ok, crow[:, 1]
 
 
-def probe_values(ptags, confirm, hashes, lb: int):
-    """Raw probe for the build-time self check: the stored u32 value word per
+def _probe(planes, h, lb: int):
+    """Layout dispatch: 1 plane = fused, 2 planes = two-level (raw)."""
+    if len(planes) == 1:
+        return _probe_fused(planes[0], h, lb)
+    return _probe_rows(planes[0], planes[1], h, lb)
+
+
+@functools.partial(jax.jit, static_argnames=("lb",))
+def probe_values(planes, hashes, lb: int):
+    """Raw probe for the build-time self check: the stored value word per
     hash, 0 on miss."""
-    ok, val = _probe_rows(ptags, confirm, hashes.reshape(-1), lb)
+    ok, val = _probe(planes, hashes.reshape(-1), lb)
     return jnp.where(ok, val, jnp.uint32(0)).reshape(hashes.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("lb",))
 def hash_lookup_kmers(
-    ptags: jax.Array,  # uint32 [n_buckets, 2]
-    confirm: jax.Array,  # uint32 [n_buckets * 2, 2]
+    planes: tuple,  # (fused,) or (ptags, confirm); see db/hash_table.py
     hashes: jax.Array,  # uint64 [...] murmur3_finalizer(canonical k-mer)
     valid: jax.Array,  # bool [...]
     lb: int,
 ):
-    """Returns the stored u32 value word per lane; 0 where missing/invalid."""
+    """Returns the stored value per lane; 0 where missing/invalid."""
     shape = hashes.shape
-    ok, val = _probe_rows(ptags, confirm, hashes.reshape(-1), lb)
+    ok, val = _probe(planes, hashes.reshape(-1), lb)
     ok = ok & valid.reshape(-1)
     return jnp.where(ok, val, jnp.uint32(0)).reshape(shape)

@@ -65,10 +65,7 @@ def make_sharded_classify_fn(
 
     if dev_planes is None:
         if hash_mode:
-            dev_planes = (
-                jax.device_put(planes.ptags, db_sharding3),
-                jax.device_put(planes.confirm, db_sharding3),
-            )
+            dev_planes = (jax.device_put(planes.fused, db_sharding3),)
         else:
             dev_planes = (
                 jax.device_put(planes.keys, db_sharding),
@@ -84,8 +81,8 @@ def make_sharded_classify_fn(
 
     if hash_mode:
 
-        def core(ptags, confirm, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
-            db_planes = ((ptags[0], confirm[0]),)
+        def core(fused, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
+            db_planes = ((fused[0],),)
             return classify_step_core(
                 db_planes, taxid_table, tin, tout, parent, root, codes, ambig, lengths, cfg
             )
@@ -125,7 +122,7 @@ def make_sharded_classify_fn(
         out_specs = {k: out_specs[k] for k in cfg.outputs}
 
     if hash_mode:
-        plane_specs = (P("db", None, None), P("db", None, None))
+        plane_specs = (P("db", None, None),)
     else:
         plane_specs = (
             P("db", None),  # keys

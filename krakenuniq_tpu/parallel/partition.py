@@ -87,16 +87,15 @@ def shard_db_planes(
 
 @dataclasses.dataclass
 class ShardedHashPlanes:
-    """Stacked per-shard two-level hash tables (db/hash_table.py layout)."""
+    """Stacked per-shard fused hash tables (db/hash_table.py layout)."""
 
-    ptags: object  # uint32 [S, n_buckets, 2] (device array)
-    confirm: object  # uint32 [S, n_buckets * 2, 2] (device array)
+    fused: object  # uint32 [S, n_buckets, 4] (device array)
     lb: int
     bounds: list  # minimizer-bin ranges per shard (for bookkeeping)
 
     @property
     def n_shards(self) -> int:
-        return self.ptags.shape[0]
+        return self.fused.shape[0]
 
 
 def shard_hash_tables(
@@ -107,32 +106,28 @@ def shard_hash_tables(
     n_shards: int,
 ) -> ShardedHashPlanes:
     """Partition keys by minimizer range (same invariant as the bsearch
-    shards) and build one hash table per shard, padded to a common size."""
+    shards) and build one hash table per shard, padded to a common size.
+
+    Building every shard at the common lb up front (the max of the
+    per-shard minimums; equal-key partitioning keeps them equal in
+    practice) avoids rebuild passes."""
     import jax.numpy as jnp
 
-    from ..db.hash_table import build_hash_table
+    from ..db.hash_table import build_hash_table, min_lb_for
 
     bounds = partition_bins_equal_keys(offsets, n_shards)
     offsets = np.asarray(offsets, dtype=np.int64)
-    tables, lbs = [], []
-    for lo, hi in bounds:
-        klo, khi = int(offsets[lo]), int(offsets[hi])
-        t, lb_i = build_hash_table(keys[klo:khi], vals[klo:khi], vals_dense[klo:khi])
-        tables.append(t)
-        lbs.append(lb_i)
-    lb = max(lbs)
-    if len(set(lbs)) > 1:
-        # rebuild smaller shards at the common lb for uniform stacking
-        for i, ((lo, hi), tlb) in enumerate(zip(bounds, lbs)):
-            if tlb == lb:
-                continue
-            klo, khi = int(offsets[lo]), int(offsets[hi])
-            tables[i], _ = build_hash_table(
-                keys[klo:khi], vals[klo:khi], vals_dense[klo:khi], force_lb=lb
-            )
+    key_slices = [(int(offsets[lo]), int(offsets[hi])) for lo, hi in bounds]
+    vmax = int(vals_dense.max()) if len(vals_dense) else 0
+    lb = max(min_lb_for(khi - klo, vmax) for klo, khi in key_slices)
+    tables = []
+    for klo, khi in key_slices:
+        t, _ = build_hash_table(
+            keys[klo:khi], vals[klo:khi], vals_dense[klo:khi], force_lb=lb
+        )
+        tables.append(t[0])
     return ShardedHashPlanes(
-        ptags=jnp.stack([t[0] for t in tables]),
-        confirm=jnp.stack([t[1] for t in tables]),
+        fused=jnp.stack(tables),
         lb=lb,
         bounds=bounds,
     )

@@ -13,17 +13,16 @@ def test_build_and_lookup(rng, n):
     keys = np.unique(rng.integers(0, 1 << 62, size=n, dtype=np.uint64))
     vals = rng.integers(1, 1 << 31, size=len(keys), dtype=np.uint32)
     vals_dense = rng.integers(1, 1 << 20, size=len(keys)).astype(np.int32)
-    (ptags, confirm), lb = build_hash_table(keys, vals, vals_dense)
-    # every key's value word (dense) is stored exactly once in the confirm
-    # plane, alongside the low 32 bits of its murmur hash
-    confirm = np.asarray(confirm)
-    occupied = (confirm != 0).any(axis=1)
+    planes, lb = build_hash_table(keys, vals, vals_dense)
+    # fused layout: every key's dense value is stored exactly once in the
+    # low lb-1 bits of an occupied slot's value word
+    assert len(planes) == 1
+    fused = np.asarray(planes[0]).reshape(-1, 2)  # [nb*slots, (tag, val)]
+    occupied = (fused != 0).any(axis=1)
+    assert occupied.sum() == len(keys)
+    tax_mask = np.uint32((1 << (lb - 1)) - 1)
     np.testing.assert_array_equal(
-        np.sort(confirm[occupied, 1]), np.sort(vals_dense.astype(np.uint32))
-    )
-    np.testing.assert_array_equal(
-        np.sort(confirm[occupied, 0]),
-        np.sort((murmur3_finalizer(keys) & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        np.sort(fused[occupied, 1] & tax_mask), np.sort(vals_dense.astype(np.uint32))
     )
 
     # queries: all keys + misses
@@ -31,30 +30,44 @@ def test_build_and_lookup(rng, n):
     misses = misses[~np.isin(misses, keys)]
     q = np.concatenate([keys, misses])
     w = np.asarray(
-        hash_lookup_kmers(ptags, confirm, murmur3_finalizer(q), np.ones(len(q), bool), lb)
+        hash_lookup_kmers(planes, murmur3_finalizer(q), np.ones(len(q), bool), lb)
     )
     np.testing.assert_array_equal(w[: len(keys)].astype(np.int32), vals_dense)
     assert (w[len(keys):] == 0).all()
     # invalid lanes return 0
     w2 = hash_lookup_kmers(
-        ptags, confirm, murmur3_finalizer(q[: len(keys)]),
+        planes, murmur3_finalizer(q[: len(keys)]),
         np.zeros(len(keys), bool), lb,
     )
     assert (np.asarray(w2) == 0).all()
 
 
 def test_store_raw_values(rng):
-    """UID databases store the raw 32-bit value word instead of dense ids."""
+    """UID databases store the raw 32-bit value word instead of dense ids,
+    in the two-level (ptags, confirm) layout."""
     keys = np.unique(rng.integers(0, 1 << 62, size=5000, dtype=np.uint64))
     vals = rng.integers(1, 1 << 31, size=len(keys), dtype=np.uint32)
     vals_dense = np.zeros(len(keys), dtype=np.int32)
-    (ptags, confirm), lb = build_hash_table(keys, vals, vals_dense, store_raw=True)
+    planes, lb = build_hash_table(keys, vals, vals_dense, store_raw=True)
+    assert len(planes) == 2
     w = np.asarray(
-        hash_lookup_kmers(
-            ptags, confirm, murmur3_finalizer(keys), np.ones(len(keys), bool), lb
-        )
+        hash_lookup_kmers(planes, murmur3_finalizer(keys), np.ones(len(keys), bool), lb)
     )
     np.testing.assert_array_equal(w, vals)
+
+
+def test_value_fit_grows_table(rng):
+    """Dense values wider than the taxon field force a larger lb."""
+    keys = np.unique(rng.integers(0, 1 << 62, size=100, dtype=np.uint64))
+    vals = np.arange(1, len(keys) + 1, dtype=np.uint32)
+    vals_dense = vals.astype(np.int32).copy()
+    vals_dense[0] = (1 << 22) - 1  # needs a 22-bit field -> lb >= 23
+    planes, lb = build_hash_table(keys, vals, vals_dense)
+    assert lb >= 23
+    w = np.asarray(
+        hash_lookup_kmers(planes, murmur3_finalizer(keys), np.ones(len(keys), bool), lb)
+    )
+    np.testing.assert_array_equal(w.astype(np.int32), vals_dense)
 
 
 def test_zero_hash_key_is_exact(rng):
@@ -84,10 +97,10 @@ def test_zero_hash_key_is_exact(rng):
     )
     vals = np.arange(1, len(keys) + 1, dtype=np.uint32)
     vd = np.arange(1, len(keys) + 1, dtype=np.int32)
-    (ptags, confirm), lb = build_hash_table(keys, vals, vd)
+    planes, lb = build_hash_table(keys, vals, vd)
     pos = int(np.searchsorted(keys, k0))
     w = hash_lookup_kmers(
-        ptags, confirm, murmur3_finalizer(np.asarray([k0])), np.ones(1, bool), lb
+        planes, murmur3_finalizer(np.asarray([k0])), np.ones(1, bool), lb
     )
     assert int(np.asarray(w)[0]) == int(vd[pos])
 
@@ -113,8 +126,7 @@ def test_matches_bsearch_on_golden():
         db.search_iters, 0,
     )
     h = murmur3_finalizer(np.asarray(canon))
-    ptags, confirm = db.hash_table
-    w = np.asarray(hash_lookup_kmers(ptags, confirm, h, valid, db.hash_lb))
+    w = np.asarray(hash_lookup_kmers(db.hash_table, h, valid, db.hash_lb))
     np.testing.assert_array_equal(np.asarray(td1), w.astype(np.int32))
     np.testing.assert_array_equal(
         np.asarray(t1), tax.taxids.astype(np.uint32)[w]
