@@ -75,6 +75,8 @@ def build_device_db(
     device=None,
     use_hash: bool = True,
     store_raw: bool = False,
+    cached_hash: tuple | None = None,  # (host_planes, lb) from ht_cache
+    hash_sink: list | None = None,  # appended with (host_planes, lb) on build
 ) -> DeviceDB:
     offsets = np.asarray(offsets, dtype=np.int64)
     bin_sizes = np.diff(offsets)
@@ -101,9 +103,17 @@ def build_device_db(
     vals_dense = np.ascontiguousarray(vals_dense, dtype=np.int32)
     htable, hlb = (None, 0)
     if use_hash:
-        htable, hlb = build_hash_table(keys, vals, vals_dense, store_raw=store_raw)
-        if device is not None:
-            htable = tuple(jax.device_put(p, device) for p in htable)
+        if cached_hash is not None:
+            host_planes, hlb = cached_hash
+            htable = tuple(jax.device_put(p, device) for p in host_planes)
+        else:
+            htable, hlb, host_planes = build_hash_table(
+                keys, vals, vals_dense, store_raw=store_raw, keep_host=True
+            )
+            if device is not None:
+                htable = tuple(jax.device_put(p, device) for p in host_planes)
+            if hash_sink is not None:
+                hash_sink.append((host_planes, hlb))
         # the sorted planes stay on host: the lookup never touches them, and
         # dropping them from HBM nearly doubles the database capacity per chip
         dk, dv, dvd, doff = keys, vals, vals_dense, offsets
@@ -135,14 +145,27 @@ def load_database_dir(
 
     Expects `database.kdb` (or `uid_database.kdb`), `database.idx`, `taxDB`
     (scripts/krakenuniq:135-138, 199)."""
+    from .ht_cache import load_ht_cache, save_ht_cache
+
     db_dir = os.fspath(db_dir)
     kdb_name = "uid_database.kdb" if uid_database else "database.kdb"
+    taxdb_path = os.path.join(db_dir, "taxDB")
     if taxonomy is None:
-        taxonomy = Taxonomy.from_taxdb_file(os.path.join(db_dir, "taxDB"))
-    hdr, keys, vals = read_kdb(os.path.join(db_dir, kdb_name))
+        taxonomy = Taxonomy.from_taxdb_file(taxdb_path)
+    kdb_path = os.path.join(db_dir, kdb_name)
+    hdr, keys, vals = read_kdb(kdb_path)
     idx_type, nt, offsets = read_index(os.path.join(db_dir, "database.idx"))
+    # dense values depend on the taxonomy, so the cache is keyed on both
+    # files; UID tables store raw values but keep the same dependency key
+    # (a changed taxDB means a rebuilt DB dir in practice)
+    ht_path = kdb_path + ".ht"
+    cached = load_ht_cache(ht_path, kdb_path, taxdb_path, uid_database)
+    sink: list = []
     db = build_device_db(
         keys, vals, offsets, k=hdr.k, nt=nt, taxonomy=taxonomy, idx_type=idx_type,
-        device=device, store_raw=uid_database,
+        device=device, store_raw=uid_database, cached_hash=cached, hash_sink=sink,
     )
+    if cached is None and sink:
+        host_planes, hlb = sink[0]
+        save_ht_cache(ht_path, host_planes, hlb, kdb_path, taxdb_path, uid_database)
     return db, taxonomy

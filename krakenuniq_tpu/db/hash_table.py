@@ -247,10 +247,13 @@ def build_hash_table(
     force_lb: int | None = None,
     store_raw: bool = False,
     self_check: bool = True,
+    keep_host: bool = False,
 ):
     """Returns (planes, lb): DEVICE plane tuple `(fused,)` -- or
     `(ptags, confirm)` when store_raw -- plus the bucket bits; see module
-    docstring.
+    docstring. keep_host=True appends the host numpy planes as a third
+    element (for cache writers -- re-downloading them from the device would
+    cost a bulk transfer).
 
     The stored per-key value word's taxon field is the DENSE taxon id (the
     classify step maps it back through taxid_table); `store_raw` stores the
@@ -290,15 +293,12 @@ def build_hash_table(
         assign = _host_place(hashes, lb)
         if assign is not None:
             if store_raw:
-                ptags, confirm = _host_planes_two(assign, hashes, values, lb)
-                planes = (jax.device_put(ptags), jax.device_put(confirm))
+                host = _host_planes_two(assign, hashes, values, lb)
             else:
-                fused = _host_planes_fused(assign, hashes, values, lb)
-                planes = (jax.device_put(fused),)
-            if not self_check or n == 0:
-                return planes, lb
-            if _self_check(planes, hashes, values, lb) == 0:
-                return planes, lb
+                host = (_host_planes_fused(assign, hashes, values, lb),)
+            planes = tuple(jax.device_put(p) for p in host)
+            if (not self_check or n == 0) or _self_check(planes, hashes, values, lb) == 0:
+                return (planes, lb, host) if keep_host else (planes, lb)
         lb += 1
     raise RuntimeError(
         f"hash table placement failed for {n} keys even at 2^{lb - 1} buckets"

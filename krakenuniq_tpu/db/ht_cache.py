@@ -1,0 +1,92 @@
+"""On-disk cache of the built device hash table.
+
+Building the table for a 48M-key database costs ~100s of host work (murmur
++ cuckoo placement + plane scatters) plus a device self-check -- per
+process. The reference amortizes its analogous cost (sorting + index
+construction) by writing database.idx once at build time
+(build_db.sh:194-209); we do the same for the probe layout: the fused plane
+is written to `<kdb>.ht` after the first successful build and later loads
+are a single bulk file read + device_put.
+
+Validity: the table stores DENSE taxon ids, so it depends on both the kdb
+pair file and the taxonomy (taxDB) that defined the dense remap. The header
+records (size, mtime_ns) of each dependency and the layout version; any
+mismatch is a silent rebuild.
+
+Format: an uncompressed .npz holding `meta` (json) and the plane arrays
+`p0[, p1]` -- one plane for the fused layout, two for the raw-valued (UID)
+two-level layout (db/hash_table.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+_VERSION = 3  # bump when the plane layout changes
+
+
+def _dep_stat(path: str):
+    st = os.stat(path)
+    return [int(st.st_size), int(st.st_mtime_ns)]
+
+
+def _meta(kdb_path: str, taxdb_path: str | None, lb: int, store_raw: bool):
+    deps = {os.path.basename(kdb_path): _dep_stat(kdb_path)}
+    if taxdb_path is not None and os.path.exists(taxdb_path):
+        deps[os.path.basename(taxdb_path)] = _dep_stat(taxdb_path)
+    return {
+        "version": _VERSION,
+        "lb": int(lb),
+        "store_raw": bool(store_raw),
+        "deps": deps,
+    }
+
+
+def save_ht_cache(
+    ht_path: str,
+    host_planes: tuple,
+    lb: int,
+    kdb_path: str,
+    taxdb_path: str | None,
+    store_raw: bool,
+) -> None:
+    """Atomic write; failures (read-only DB dirs) are non-fatal."""
+    meta = _meta(kdb_path, taxdb_path, lb, store_raw)
+    arrays = {f"p{i}": np.asarray(p) for i, p in enumerate(host_planes)}
+    tmp = ht_path + ".tmp"
+    try:
+        with open(tmp, "wb") as fh:
+            np.savez(fh, meta=np.frombuffer(json.dumps(meta).encode(), np.uint8), **arrays)
+        os.replace(tmp, ht_path)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def load_ht_cache(
+    ht_path: str, kdb_path: str, taxdb_path: str | None, store_raw: bool
+):
+    """Returns (host_planes, lb) or None on miss/staleness/corruption."""
+    if not os.path.exists(ht_path):
+        return None
+    try:
+        z = np.load(ht_path)
+        meta = json.loads(bytes(z["meta"]).decode())
+        if meta != _meta(kdb_path, taxdb_path, meta.get("lb", 0), store_raw):
+            return None
+        planes = []
+        for i in range(4):
+            key = f"p{i}"
+            if key not in z:
+                break
+            planes.append(z[key])
+        if not planes:
+            return None
+        return tuple(planes), int(meta["lb"])
+    except Exception:
+        return None

@@ -131,3 +131,38 @@ def test_matches_bsearch_on_golden():
     np.testing.assert_array_equal(
         np.asarray(t1), tax.taxids.astype(np.uint32)[w]
     )
+
+
+def test_ht_disk_cache(tmp_path):
+    """Second load of a DB dir reuses the on-disk hash table; touching a
+    dependency invalidates it."""
+    import os
+    import shutil
+
+    from krakenuniq_tpu.db import load_database_dir
+    from krakenuniq_tpu.db.ht_cache import load_ht_cache
+
+    data = os.path.join(os.path.dirname(__file__), "golden", "data")
+    if not os.path.exists(os.path.join(data, "database.kdb")):
+        pytest.skip("golden fixture missing")
+    d = tmp_path / "db"
+    d.mkdir()
+    for name in ("database.kdb", "database.idx", "taxDB"):
+        shutil.copy(os.path.join(data, name), d / name)
+
+    db1, _ = load_database_dir(str(d))
+    ht_path = str(d / "database.kdb.ht")
+    assert os.path.exists(ht_path)
+    cached = load_ht_cache(ht_path, str(d / "database.kdb"), str(d / "taxDB"), False)
+    assert cached is not None and cached[1] == db1.hash_lb
+
+    db2, _ = load_database_dir(str(d))
+    assert db2.hash_lb == db1.hash_lb
+    np.testing.assert_array_equal(
+        np.asarray(db2.hash_table[0]), np.asarray(db1.hash_table[0])
+    )
+
+    # staleness: rewrite taxDB with different mtime/size -> cache miss
+    with open(d / "taxDB", "a") as fh:
+        fh.write("\n")
+    assert load_ht_cache(ht_path, str(d / "database.kdb"), str(d / "taxDB"), False) is None
