@@ -94,11 +94,17 @@ class ClassifyOptions:
     mesh_db: int = 1
 
 
-def _bucket(n: int, lo: int) -> int:
-    """Round a batch dimension up to a padding bucket (powers of two)."""
+def _bucket(n: int, lo: int, step: int = 2) -> int:
+    """Round a batch dimension up to a padding bucket (geometric by `step`).
+
+    The native span path uses step=8 (buckets 1024 / 8192 / 65536): every
+    distinct batch shape is a separate XLA compile, and on a remote-transport
+    TPU a fresh classify-program compile can cost tens of seconds -- far more
+    than the padded device time + transfer bytes of a coarser bucket (fetches
+    are already sliced to an 8192-row grid, so download bytes don't grow)."""
     b = lo
     while b < n:
-        b *= 2
+        b *= step
     return b
 
 
@@ -467,10 +473,9 @@ class Classifier:
                 f"reads longer than {opts.max_read_len} bp are not supported yet"
             )
         lb = _bucket_len(max(max_len, self.k), max(128, self.k))
-        # batch height buckets (powers of two from 1024): tail spans compile
-        # once per bucket but don't pay device time + transfer bytes for a
-        # full-height padded batch -- the link is bandwidth-bound
-        b = _bucket(n_span, 1024)
+        # batch height buckets: coarse (x8) to keep the compile-variant count
+        # at <= 3 per read-length bucket (see _bucket)
+        b = _bucket(n_span, 1024, step=8)
         offs_c = np.ascontiguousarray(offs)
         t0 = time.time() if _PROFILE else 0
         codes, ambig_arr, lengths = _native.encode_unit_packed(buf, offs_c, lb, b)
