@@ -179,10 +179,17 @@ def classify_step_core(
             taxon_dense = jnp.where(remaining, td_i, taxon_dense)
             found = found | (t_i != 0)
 
+    any_raw = any(
+        (cfg.raw_dbs[i] if i < len(cfg.raw_dbs) else False)
+        for i in range(len(db_planes))
+    )
     if cfg.lookup_mode == "hash":
         # dense-valued DBs store only the dense id; recover original taxids
         # for the hit-list/output planes (taxid_table[0] == 0, so misses map
-        # to 0). XLA DCEs this gather when no fetched output consumes taxon.
+        # to 0). A full-plane element-gather costs ~90ms at [65536, 120], so
+        # every downstream consumer derives ids at [B] or [B, R] granularity
+        # instead; this plane materializes only when the caller fetches
+        # "taxa" (XLA DCEs it otherwise -- exact/python/UID paths).
         mapped = jnp.take(taxid_table, taxon_dense).astype(jnp.uint32)
         taxon = jnp.where(taxon == 0, mapped, taxon)
 
@@ -197,10 +204,13 @@ def classify_step_core(
         # the call is the taxon of the hit that reached min_hits
         reach = (hits_before + hit.astype(jnp.int32) == cfg.min_hits) & hit & processed
         call_pos = jnp.argmax(reach, axis=1)
-        call_taxon = jnp.take_along_axis(taxon, call_pos[:, None], axis=1)[:, 0]
-        call = jnp.where(total_hits >= cfg.min_hits, call_taxon, jnp.uint32(0))
         call_dense_taxon = jnp.take_along_axis(taxon_dense, call_pos[:, None], axis=1)[:, 0]
         call_dense = jnp.where(total_hits >= cfg.min_hits, call_dense_taxon, 0)
+        if any_raw:
+            call_taxon = jnp.take_along_axis(taxon, call_pos[:, None], axis=1)[:, 0]
+            call = jnp.where(total_hits >= cfg.min_hits, call_taxon, jnp.uint32(0))
+        else:
+            call = jnp.take(taxid_table, call_dense)  # [B]-sized mapping only
     elif cfg.resolve:
         processed = valid
         total_hits = jnp.sum(hit.astype(jnp.int32), axis=1)
@@ -235,15 +245,21 @@ def classify_step_core(
     if cfg.with_kmers:
         out["canon"] = canon
     if cfg.max_runs > 0:
+        # run grouping on DENSE ids when every DB stores them (dense_index is
+        # injective, so run boundaries match the original-id grouping); the
+        # wide layout maps run values back through taxid_table at [B, R]
+        # granularity, never touching the full mapped plane
+        use_dense_ids = not any_raw
         out["packed"] = _pack_runs(
-            taxon,
+            taxon_dense.astype(jnp.uint32) if use_dense_ids else taxon,
             kmer_ambig,
             valid,
             call,
             total_hits,
             n_kmers[:, 0],
             cfg.max_runs,
-            taxon_dense=taxon_dense if cfg.dense_runs else None,
+            dense_words=cfg.dense_runs,
+            map_table=taxid_table if (use_dense_ids and not cfg.dense_runs) else None,
         )
         # single-fetch accumulate feed for the host (exact-compat) counter
         if cfg.dense_runs:
@@ -254,10 +270,14 @@ def classify_step_core(
                 hll_lanes, taxon_dense.astype(jnp.uint16), jnp.uint16(0xFFFF)
             )
         else:
-            # 8B/lane: taxon<<32 | hll-encoding, all-ones sentinel elsewhere
+            # 8B/lane: id<<32 | hll-encoding, all-ones sentinel elsewhere.
+            # The id half carries DENSE taxa when every DB stores them (the
+            # host maps them back; keeps the full mapped plane DCE-able) and
+            # raw/original ids otherwise (UID values are not taxids at all)
+            pair_ids = taxon if any_raw else taxon_dense.astype(jnp.uint32)
             out["hll_pairs"] = jnp.where(
                 hll_lanes,
-                (taxon.astype(jnp.uint64) << jnp.uint64(32)) | enc.astype(jnp.uint64),
+                (pair_ids.astype(jnp.uint64) << jnp.uint64(32)) | enc.astype(jnp.uint64),
                 jnp.uint64(0xFFFFFFFFFFFFFFFF),
             )
     if cfg.outputs is not None:
@@ -265,10 +285,15 @@ def classify_step_core(
     return out
 
 
-def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs, taxon_dense=None):
+def _pack_runs(ids, kmer_ambig, valid, call, hits, n_kmers, max_runs, *, dense_words, map_table=None):
     """RLE-encode each read's per-k-mer hit codes on device and pack the
     whole per-read result into one uint32 matrix so the host needs a single
     transfer per batch.
+
+    `ids` is the per-k-mer id plane used both for run grouping and run
+    values: DENSE taxon ids when every DB stores them, else original/raw
+    ids (UID or missing-taxon corner). `map_table` (wide layout + dense ids)
+    maps each run's id back to the original taxid with one [B, R] gather.
 
     Wide row layout (R = max_runs, must be even; 60B/read at R=8 -- sized
     for a bandwidth-bound device link):
@@ -276,8 +301,8 @@ def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs, taxon_de
     lens2 packs two 16-bit run lengths per word (even run in the low half);
     each u16 = run_len (15 bits) | ambiguity flag << 15 (an 'A:' run).
 
-    Dense row layout (taxon_dense given; requires a <= 2^16-node taxonomy;
-    40B/read at R=8):
+    Dense row layout (dense_words; requires dense `ids` and a <= 2^16-node
+    taxonomy; 40B/read at R=8):
       [run words(R): dense_taxon<<16 | ambig<<15 | run_len | call |
        hits<<16 | n_runs]
     n_kmers is omitted -- the host derives it from the sequence length.
@@ -286,13 +311,13 @@ def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs, taxon_de
     by the host (rare). Requires W < 2^15 and matches the parser in
     kuniq_native.kraken_lines_rle.
     """
-    b, w = taxon.shape
+    b, w = ids.shape
     r = max_runs
     if r % 2 != 0:
         raise ValueError("max_runs must be even (paired 16-bit run lengths)")
     if w >= 1 << 15:
         raise ValueError("RLE packing supports at most 2^15-1 k-mers per read")
-    code = jnp.where(kmer_ambig, jnp.int64(-1), taxon.astype(jnp.int64))
+    code = jnp.where(kmer_ambig, jnp.int64(-1), ids.astype(jnp.int64))
     code = jnp.where(valid, code, jnp.int64(-2))
     prev = jnp.concatenate([jnp.full((b, 1), jnp.int64(-3)), code[:, :-1]], axis=1)
     change = (code != prev) & valid
@@ -311,21 +336,18 @@ def _pack_runs(taxon, kmer_ambig, valid, call, hits, n_kmers, max_runs, taxon_de
         << jnp.uint32(15)
     )
     meta = (hits.astype(jnp.uint32) << jnp.uint32(16)) | n_runs.astype(jnp.uint32)
+    run_ids = jnp.max(jnp.where(in_slot, ids[:, None, :], jnp.uint32(0)), axis=2)
 
-    if taxon_dense is not None:
+    if dense_words:
         # dense 0 is the taxid-0 sentinel (taxonomy/tree.py), so a miss run
         # encodes as dense 0 exactly like taxon 0 in the wide layout
-        run_dense = jnp.max(
-            jnp.where(in_slot, taxon_dense[:, None, :].astype(jnp.uint32), jnp.uint32(0)),
-            axis=2,
-        )
-        words = (run_dense << jnp.uint32(16)) | run_amb | run_lens
+        words = (run_ids << jnp.uint32(16)) | run_amb | run_lens
         return jnp.concatenate(
             [words, call.astype(jnp.uint32)[:, None], meta[:, None]], axis=1
         )
 
-    run_vals = jnp.max(
-        jnp.where(in_slot, taxon[:, None, :], jnp.uint32(0)), axis=2
+    run_vals = (
+        jnp.take(map_table, run_ids.astype(jnp.int32)) if map_table is not None else run_ids
     )
     lens16 = run_lens | run_amb
     lens2 = lens16[:, 0::2] | (lens16[:, 1::2] << jnp.uint32(16))

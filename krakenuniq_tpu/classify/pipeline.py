@@ -242,15 +242,20 @@ class Classifier:
         # and materializes only the outputs its mode reads back (each dropped
         # output saves dispatch-time buffer registration and lets XLA DCE the
         # phase that produced it)
+        # non-UID modes carry taxa_dense (the original-id "taxa" plane costs
+        # a ~90ms full-batch element-gather to materialize; overflow rows are
+        # mapped back through taxid_table on host)
         if self._cfg.max_runs > 0:
-            if self.opts.exact:
+            if self.uid_map is not None:
+                span_outputs = ("packed", "taxa", "ambig", "hll_pairs")
+            elif self.opts.exact:
                 span_outputs = ("packed", "taxa", "ambig", "hll_lanes", "canon")
             elif self.opts.device_counters:
-                span_outputs = ("packed", "taxa", "ambig")
+                span_outputs = ("packed", "taxa_dense", "ambig")
             elif self._cfg.dense_runs:
-                span_outputs = ("packed", "taxa", "ambig", "hll_enc", "hll_dense")
+                span_outputs = ("packed", "taxa_dense", "ambig", "hll_enc", "hll_dense")
             else:
-                span_outputs = ("packed", "taxa", "ambig", "hll_pairs")
+                span_outputs = ("packed", "taxa_dense", "ambig", "hll_pairs")
         else:
             span_outputs = None
         self._cfg_packed = dataclasses.replace(
@@ -589,12 +594,15 @@ class Classifier:
                 counted_taxa = self._taxids_host[hd[s_:e_][m].astype(np.int64)]
                 self.counter.process_unit(counted_taxa, he[s_:e_][m], calls[s_:e_])
         else:
-            # per-unit accumulation (preserves work-unit HLL semantics)
+            # per-unit accumulation (preserves work-unit HLL semantics); the
+            # pair id half is a DENSE taxon unless a raw (UID) DB is in play
             pairs = np.asarray(out["hll_pairs"])[:n_span]
             for s_, e_ in zip(unit_bounds[:-1], unit_bounds[1:]):
                 flat = pairs[s_:e_].reshape(-1)
                 flat = flat[flat != np.uint64(0xFFFFFFFFFFFFFFFF)]
                 counted_taxa = (flat >> np.uint64(32)).astype(np.uint32)
+                if self.uid_map is None:
+                    counted_taxa = self._taxids_host[counted_taxa.astype(np.int64)]
                 counted = (flat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
                 self.counter.process_unit(counted_taxa, counted, calls[s_:e_])
 
@@ -607,7 +615,14 @@ class Classifier:
                 ov_rows = np.flatnonzero(n_runs > r).astype(np.int64)
             ov_lines = []
             if len(ov_rows):
-                taxa_rows = np.ascontiguousarray(np.asarray(out["taxa"][ov_rows]))
+                if "taxa" in out:
+                    taxa_rows = np.ascontiguousarray(np.asarray(out["taxa"][ov_rows]))
+                else:
+                    # dense plane: map the few overflow rows on host
+                    dense_rows = np.asarray(out["taxa_dense"][ov_rows])
+                    taxa_rows = np.ascontiguousarray(
+                        self._taxids_host[dense_rows.astype(np.int64)]
+                    )
                 ambig_rows = np.ascontiguousarray(
                     np.asarray(out["ambig"][ov_rows]).astype(np.uint8)
                 )

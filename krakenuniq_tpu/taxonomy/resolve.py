@@ -34,8 +34,13 @@ def resolve_reads(
 ) -> jax.Array:
     """Returns the dense call per read: int32 [B]."""
     t = jnp.where(hit_mask, taxa_dense, 0)
-    tins = jnp.take(tin, t, axis=0)  # [B, W]
-    touts = jnp.take(tout, t, axis=0)
+    # ONE row-gather for both interval endpoints: XLA:TPU element-gathers
+    # run ~8-11 ns/element even from a VMEM-sized table, while [T, 2] row
+    # gathers take the fast path (measured 153ms -> 48ms on [65536, 120])
+    io = jnp.stack([tin, tout], axis=1)  # [T, 2]
+    rows = jnp.take(io, t, axis=0)  # [B, W, 2]
+    tins = rows[..., 0]
+    touts = rows[..., 1]
 
     # anc[b, j, i]: hit j is ancestor-or-self of candidate i
     anc = (
@@ -62,7 +67,8 @@ def resolve_reads(
 
     def step(_, carry):
         node, best, found = carry
-        ok = (jnp.take(tin, node) <= tmin) & (tmax < jnp.take(tout, node))
+        nrows = jnp.take(io, node, axis=0)  # [B, 2]
+        ok = (nrows[:, 0] <= tmin) & (tmax < nrows[:, 1])
         best = jnp.where(ok & ~found, node, best)
         found = found | ok
         node = jnp.take(parent, node)
