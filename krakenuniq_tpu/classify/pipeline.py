@@ -387,17 +387,23 @@ class Classifier:
             return
         self._link_warm = True
         try:
-            import jax.numpy as jnp
-
-            x = jnp.arange(1 << 20, dtype=jnp.uint32)  # 4MB round trip
-            _ = np.asarray(x * jnp.uint32(1))
+            # pure transfers (device_put + fetch), deliberately compile-free:
+            # remote-compile latency is unbounded under contention and would
+            # serialize here before the first span
+            x = jax.device_put(np.zeros(1 << 20, dtype=np.uint32))  # 4MB
+            _ = np.asarray(x)
         except Exception:
             pass
 
     def _run_native(self, path, kraken_fh, classified_fh, unclassified_fh) -> None:
         from collections import deque
 
+        if _PROFILE:
+            t_w = time.time()
         self._warm_link()
+        if _PROFILE:
+            sys.stderr.write(f"\n[warm_link {1e3*(time.time()-t_w):.0f}ms]")
+            self._prof_last = time.time()
         pending = deque()  # spans in flight, ordered; bounded by _PIPELINE_DEPTH
         for buf, offs, multi, fastq in self._native_chunks(path):
             overlong = bool((np.abs(offs[:, 5]) > self.opts.max_read_len).any())
@@ -483,6 +489,10 @@ class Classifier:
         b = _bucket(n_span, 1024, step=8)
         offs_c = np.ascontiguousarray(offs)
         t0 = time.time() if _PROFILE else 0
+        if _PROFILE:
+            gap = t0 - getattr(self, "_prof_last", t0)
+            self._prof_last = t0
+            sys.stderr.write(f"\n[gap {1e3*gap:.0f}ms]")
         codes, ambig_arr, lengths = _native.encode_unit_packed(buf, offs_c, lb, b)
         t1 = time.time() if _PROFILE else 0
         if self.dev_counters is not None:
@@ -667,7 +677,8 @@ class Classifier:
                 except TypeError:
                     kraken_fh.write(lines.decode())
         if _PROFILE:
-            sys.stderr.write(f" finish {1e3*(time.time()-t0):.0f}ms")
+            self._prof_last = time.time()
+            sys.stderr.write(f" finish {1e3*(self._prof_last-t0):.0f}ms")
 
         if classified_fh is not None or unclassified_fh is not None:
             for i in range(n_span):
