@@ -254,11 +254,12 @@ def classify_step_core(
             taxon_dense.astype(jnp.uint32) if use_dense_ids else taxon,
             kmer_ambig,
             valid,
-            call,
+            call_dense.astype(jnp.uint32) if (cfg.dense_runs and not cfg.quick) else call,
             total_hits,
             n_kmers[:, 0],
             cfg.max_runs,
             dense_words=cfg.dense_runs,
+            compact_meta=cfg.dense_runs and not cfg.quick,
             map_table=taxid_table if (use_dense_ids and not cfg.dense_runs) else None,
         )
         # single-fetch accumulate feed for the host (exact-compat) counter
@@ -285,7 +286,7 @@ def classify_step_core(
     return out
 
 
-def _pack_runs(ids, kmer_ambig, valid, call, hits, n_kmers, max_runs, *, dense_words, map_table=None):
+def _pack_runs(ids, kmer_ambig, valid, call, hits, n_kmers, max_runs, *, dense_words, compact_meta=False, map_table=None):
     """RLE-encode each read's per-k-mer hit codes on device and pack the
     whole per-read result into one uint32 matrix so the host needs a single
     transfer per batch.
@@ -302,9 +303,11 @@ def _pack_runs(ids, kmer_ambig, valid, call, hits, n_kmers, max_runs, *, dense_w
     each u16 = run_len (15 bits) | ambiguity flag << 15 (an 'A:' run).
 
     Dense row layout (dense_words; requires dense `ids` and a <= 2^16-node
-    taxonomy; 40B/read at R=8):
-      [run words(R): dense_taxon<<16 | ambig<<15 | run_len | call |
-       hits<<16 | n_runs]
+    taxonomy): R run words of dense_taxon<<16 | ambig<<15 | run_len, then
+      compact_meta (non-quick; 36B/read at R=8): ONE meta word
+        call_dense<<16 | n_runs  -- `call` must be the DENSE call id and
+        hits is dropped (only quick-mode output prints it)
+      else (quick; 40B/read): call | hits<<16 | n_runs
     n_kmers is omitted -- the host derives it from the sequence length.
 
     Reads with more than R runs report n_runs > R and are re-fetched row-wise
@@ -342,6 +345,11 @@ def _pack_runs(ids, kmer_ambig, valid, call, hits, n_kmers, max_runs, *, dense_w
         # dense 0 is the taxid-0 sentinel (taxonomy/tree.py), so a miss run
         # encodes as dense 0 exactly like taxon 0 in the wide layout
         words = (run_ids << jnp.uint32(16)) | run_amb | run_lens
+        if compact_meta:
+            meta1 = (call.astype(jnp.uint32) << jnp.uint32(16)) | n_runs.astype(
+                jnp.uint32
+            )
+            return jnp.concatenate([words, meta1[:, None]], axis=1)
         return jnp.concatenate(
             [words, call.astype(jnp.uint32)[:, None], meta[:, None]], axis=1
         )

@@ -564,18 +564,26 @@ class Classifier:
 
         r = self._cfg.max_runs
         dense = self._cfg.dense_runs
-        # dense row: runs(R) | call | meta;  wide row: run_vals(R) |
+        compact = dense and not opts.quick
+        # compact dense row: runs(R) | call_dense<<16|n_runs;  quick dense
+        # row: runs(R) | call | hits<<16|n_runs;  wide row: run_vals(R) |
         # lens2(R/2) | call | n_kmers | meta
         meta0 = r if dense else r + r // 2
         t0 = time.time() if _PROFILE else 0
         packed = np.asarray(out["packed"])[:n_span]
         if _PROFILE:
             sys.stderr.write(f" fetch {1e3*(time.time()-t0):.0f}ms")
-        calls = packed[:, meta0].copy()
-        if dense:
+        if compact:
+            meta_w = packed[:, r]
+            calls = self._taxids_host[(meta_w >> np.uint32(16)).astype(np.int64)]
+            n_runs = meta_w & np.uint32(0xFFFF)
+            n_kmers = np.maximum(seq_lens - (self.k - 1), 0).astype(np.int32)
+        elif dense:
+            calls = packed[:, meta0].copy()
             n_kmers = np.maximum(seq_lens - (self.k - 1), 0).astype(np.int32)
             n_runs = packed[:, meta0 + 1] & np.uint32(0xFFFF)
         else:
+            calls = packed[:, meta0].copy()
             n_kmers = packed[:, meta0 + 1].astype(np.int32)
             n_runs = packed[:, meta0 + 2] & np.uint32(0xFFFF)
 

@@ -63,11 +63,11 @@ u32 element-gathers and emulated-u64 word-gathers run ~8.5 ns/element;
 (1,128) full-row gathers ~230 ns/row. What must NOT exist is an [N, small]
 u32 value produced by on-device scatter/reshape: those materialize in an
 (8,128)-tiled buffer whose lane-padded minor dimension blows up 64x
-(observed: a 512MB plane allocating 32GB at 48M keys). Placement AND plane
-construction therefore run on HOST as vectorized numpy passes (batch cuckoo
-insertion; ~1s per 50M keys) and the planes enter the device via
-device_put; the device's only build-time role is the final self-check
-probe, chunked at a fixed shape so it compiles exactly once per process.
+(observed: a 512MB plane allocating 32GB at 48M keys). The ENTIRE build --
+placement, plane construction, and the self-check probe (a numpy mirror of
+the device probe) -- therefore runs on HOST as vectorized numpy passes
+(batch cuckoo insertion; ~1s per 50M keys) and the planes enter the device
+via device_put only once validated.
 """
 
 from __future__ import annotations
@@ -212,23 +212,61 @@ def _host_planes_two(assign, hashes, values, lb: int):
     return ptags.reshape(nb, BUCKET_SLOTS), confirm
 
 
-def _self_check(planes, hashes, values, lb: int) -> int:
-    """Probe every key through the real lookup in fixed-shape chunks;
-    returns the number of mismatching keys."""
-    from ..lookup.hash_lookup import probe_values
-
+def _self_check(host_planes, hashes, values, lb: int) -> int:
+    """Probe every key through a numpy mirror of the device probe; returns
+    the number of mismatching keys. Runs entirely on HOST: the device planes
+    are byte-identical device_put copies of these arrays, and a device probe
+    here would pay a fresh remote compile (observed minutes under
+    compile-service contention) for a check that numpy does in seconds."""
     n = len(hashes)
     n_bad = 0
+    shift = np.uint64(64 - lb)
     for s in range(0, n, _SELF_CHECK_CHUNK):
-        chunk = hashes[s : s + _SELF_CHECK_CHUNK]
+        h = hashes[s : s + _SELF_CHECK_CHUNK]
         want = values[s : s + _SELF_CHECK_CHUNK]
-        if len(chunk) < _SELF_CHECK_CHUNK:
-            pad = _SELF_CHECK_CHUNK - len(chunk)
-            # pad with a repeat of the first key: a valid probe, known value
-            chunk = np.concatenate([chunk, np.broadcast_to(hashes[:1], (pad,))])
-            want = np.concatenate([want, np.broadcast_to(values[:1], (pad,))])
-        got = probe_values(planes, jax.device_put(chunk), lb)
-        n_bad += int(jnp.sum(got != jax.device_put(want), dtype=jnp.int32))
+        if len(host_planes) == 1:
+            fused = host_planes[0]
+            v_bits = lb - 1
+            tax_mask = np.uint32((1 << v_bits) - 1)
+            hi_mask = ~tax_mask
+            spare_mask = np.uint64((1 << (32 - lb)) - 1)
+            got = np.zeros(len(h), np.uint32)
+            found = np.zeros(len(h), bool)
+            for hc, choice in ((h, 0), (h * GOLDEN, 1)):
+                r = (hc >> shift).astype(np.int64)
+                tag = ((hc << np.uint64(lb)) >> np.uint64(32)).astype(np.uint32)
+                hi = (hc & spare_mask).astype(np.uint32) << np.uint32(v_bits)
+                if choice:
+                    hi |= np.uint32(1 << 31)
+                rows = fused[r]  # [n, 4]
+                for slot in (0, 1):
+                    m = (rows[:, 2 * slot] == tag) & (
+                        (rows[:, 2 * slot + 1] & hi_mask) == hi
+                    )
+                    got = np.where(m & ~found, rows[:, 2 * slot + 1] & tax_mask, got)
+                    found |= m
+        else:
+            ptags, confirm = host_planes
+            hg = h * GOLDEN
+            r1 = (h >> shift).astype(np.int64)
+            r2 = (hg >> shift).astype(np.int64)
+            p1 = ((h << np.uint64(lb)) >> np.uint64(32)).astype(np.uint32)
+            p2 = ((hg << np.uint64(lb)) >> np.uint64(32)).astype(np.uint32)
+            t1 = ptags[r1]
+            t2 = ptags[r2]
+            eq1 = t1 == p1[:, None]
+            eq2 = (t2 == p2[:, None]) & (r1 != r2)[:, None]
+            has1 = eq1.any(axis=1)
+            has2 = eq2.any(axis=1)
+            c1 = np.argmax(eq1, axis=1)
+            c2 = np.argmax(eq2, axis=1)
+            flat = np.where(has1, r1 * BUCKET_SLOTS + c1, r2 * BUCKET_SLOTS + c2)
+            crow = confirm[flat]
+            ok = (has1 | has2) & (
+                crow[:, 0] == (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            )
+            got = np.where(ok, crow[:, 1], np.uint32(0))
+        n_bad += int(np.count_nonzero(got != want))
     return n_bad
 
 
@@ -296,8 +334,8 @@ def build_hash_table(
                 host = _host_planes_two(assign, hashes, values, lb)
             else:
                 host = (_host_planes_fused(assign, hashes, values, lb),)
-            planes = tuple(jax.device_put(p) for p in host)
-            if (not self_check or n == 0) or _self_check(planes, hashes, values, lb) == 0:
+            if (not self_check or n == 0) or _self_check(host, hashes, values, lb) == 0:
+                planes = tuple(jax.device_put(p) for p in host)
                 return (planes, lb, host) if keep_host else (planes, lb)
         lb += 1
     raise RuntimeError(

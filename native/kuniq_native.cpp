@@ -372,16 +372,26 @@ PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
   out.reserve((size_t)n * 48);
   char tmp[64];
   const long META = dense ? R : R + R / 2;
+  const int compact = dense && !quick;  // one meta word: call_dense<<16|n_runs
   for (int64_t i = 0; i < n; i++) {
     const uint32_t* row = pk + i * stride;
-    uint32_t call = row[META];
-    uint32_t n_kmers, hits, n_runs;
-    if (dense) {
+    uint32_t call;
+    uint32_t n_kmers, hits = 0, n_runs;
+    if (compact) {
+      uint32_t mw = row[R];
+      uint32_t cd = mw >> 16;
+      call = cd < (uint32_t)table_n ? table[cd] : 0u;
+      n_runs = mw & 0xFFFFu;
+      int32_t nk = slp[i] - (int32_t)(kk - 1);
+      n_kmers = nk > 0 ? (uint32_t)nk : 0u;
+    } else if (dense) {
+      call = row[META];
       int32_t nk = slp[i] - (int32_t)(kk - 1);
       n_kmers = nk > 0 ? (uint32_t)nk : 0u;
       hits = row[META + 1] >> 16;
       n_runs = row[META + 1] & 0xFFFFu;
     } else {
+      call = row[META];
       n_kmers = row[META + 1];
       hits = row[META + 2] >> 16;
       n_runs = row[META + 2] & 0xFFFFu;
@@ -456,6 +466,6 @@ PyMODINIT_FUNC PyInit_kuniq_native(void) {
   import_array();
   init_tables();
   PyObject* mod = PyModule_Create(&moduledef);
-  if (mod) PyModule_AddIntConstant(mod, "API_VERSION", 3);
+  if (mod) PyModule_AddIntConstant(mod, "API_VERSION", 4);
   return mod;
 }
