@@ -154,19 +154,41 @@ class Classifier:
                 raise ValueError("mesh mode supports a single database")
             if n_md & (n_md - 1):
                 raise ValueError("mesh_data must be a power of two (batch buckets)")
-            from ..parallel import make_mesh
-            from ..parallel.partition import shard_hash_tables
+            import jax as _jax
 
-            hdr, h_keys, h_vals = read_kdb(os.path.join(self.db_dirs[0], "database.kdb"))
+            from ..db.ht_cache import load_ht_cache, save_ht_cache
+            from ..parallel import make_mesh
+            from ..parallel.partition import ShardedHashPlanes, shard_hash_tables
+
+            kdb_path = os.path.join(self.db_dirs[0], "database.kdb")
+            taxdb_path = os.path.join(self.db_dirs[0], "taxDB")
+            hdr, h_keys, h_vals = read_kdb(kdb_path)
             from ..formats import read_index
 
             _idx_type, nt, h_offsets = read_index(
                 os.path.join(self.db_dirs[0], "database.idx")
             )
             h_vd = self.taxonomy.dense_index(h_vals)
-            self._sharded_planes = shard_hash_tables(
-                h_keys, h_vals, h_vd, np.asarray(h_offsets), n_mdb
-            )
+            # shard-stacked tables get their own cache file per shard count
+            sht_path = f"{kdb_path}.ht{n_mdb}"
+            cached = load_ht_cache(sht_path, kdb_path, taxdb_path, False)
+            if cached is not None and cached[2] and "bounds" in cached[2]:
+                (stack,), lb, extra = cached
+                self._sharded_planes = ShardedHashPlanes(
+                    fused=_jax.device_put(stack),
+                    lb=lb,
+                    bounds=[tuple(b) for b in extra["bounds"]],
+                )
+            else:
+                sink: list = []
+                self._sharded_planes = shard_hash_tables(
+                    h_keys, h_vals, h_vd, np.asarray(h_offsets), n_mdb, hash_sink=sink
+                )
+                host_stack, lb, bounds = sink[0]
+                save_ht_cache(
+                    sht_path, (host_stack,), lb, kdb_path, taxdb_path, False,
+                    extra={"bounds": [list(b) for b in bounds]},
+                )
             self._host_vals_dense = h_vd
             self.mesh = make_mesh(n_md, n_mdb)
             self.dbs = []

@@ -160,6 +160,8 @@ def load_database_dir(
     # (a changed taxDB means a rebuilt DB dir in practice)
     ht_path = kdb_path + ".ht"
     cached = load_ht_cache(ht_path, kdb_path, taxdb_path, uid_database)
+    if cached is not None:
+        cached = cached[:2]  # (host_planes, lb); no extra meta on this path
     sink: list = []
     db = build_device_db(
         keys, vals, offsets, k=hdr.k, nt=nt, taxonomy=taxonomy, idx_type=idx_type,

@@ -286,6 +286,7 @@ def build_hash_table(
     store_raw: bool = False,
     self_check: bool = True,
     keep_host: bool = False,
+    to_device: bool = True,
 ):
     """Returns (planes, lb): DEVICE plane tuple `(fused,)` -- or
     `(ptags, confirm)` when store_raw -- plus the bucket bits; see module
@@ -335,7 +336,7 @@ def build_hash_table(
             else:
                 host = (_host_planes_fused(assign, hashes, values, lb),)
             if (not self_check or n == 0) or _self_check(host, hashes, values, lb) == 0:
-                planes = tuple(jax.device_put(p) for p in host)
+                planes = tuple(jax.device_put(p) for p in host) if to_device else None
                 return (planes, lb, host) if keep_host else (planes, lb)
         lb += 1
     raise RuntimeError(

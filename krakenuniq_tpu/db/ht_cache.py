@@ -33,16 +33,19 @@ def _dep_stat(path: str):
     return [int(st.st_size), int(st.st_mtime_ns)]
 
 
-def _meta(kdb_path: str, taxdb_path: str | None, lb: int, store_raw: bool):
+def _meta(kdb_path: str, taxdb_path: str | None, lb: int, store_raw: bool, extra=None):
     deps = {os.path.basename(kdb_path): _dep_stat(kdb_path)}
     if taxdb_path is not None and os.path.exists(taxdb_path):
         deps[os.path.basename(taxdb_path)] = _dep_stat(taxdb_path)
-    return {
+    meta = {
         "version": _VERSION,
         "lb": int(lb),
         "store_raw": bool(store_raw),
         "deps": deps,
     }
+    if extra:
+        meta["extra"] = extra
+    return meta
 
 
 def save_ht_cache(
@@ -52,9 +55,11 @@ def save_ht_cache(
     kdb_path: str,
     taxdb_path: str | None,
     store_raw: bool,
+    extra=None,
 ) -> None:
-    """Atomic write; failures (read-only DB dirs) are non-fatal."""
-    meta = _meta(kdb_path, taxdb_path, lb, store_raw)
+    """Atomic write; failures (read-only DB dirs) are non-fatal. `extra` is
+    json-able side metadata (e.g. shard bounds) returned verbatim on load."""
+    meta = _meta(kdb_path, taxdb_path, lb, store_raw, extra)
     arrays = {f"p{i}": np.asarray(p) for i, p in enumerate(host_planes)}
     tmp = ht_path + ".tmp"
     try:
@@ -71,13 +76,14 @@ def save_ht_cache(
 def load_ht_cache(
     ht_path: str, kdb_path: str, taxdb_path: str | None, store_raw: bool
 ):
-    """Returns (host_planes, lb) or None on miss/staleness/corruption."""
+    """Returns (host_planes, lb, extra) or None on miss/staleness/corruption."""
     if not os.path.exists(ht_path):
         return None
     try:
         z = np.load(ht_path)
         meta = json.loads(bytes(z["meta"]).decode())
-        if meta != _meta(kdb_path, taxdb_path, meta.get("lb", 0), store_raw):
+        extra = meta.get("extra")
+        if meta != _meta(kdb_path, taxdb_path, meta.get("lb", 0), store_raw, extra):
             return None
         planes = []
         for i in range(4):
@@ -87,6 +93,6 @@ def load_ht_cache(
             planes.append(z[key])
         if not planes:
             return None
-        return tuple(planes), int(meta["lb"])
+        return tuple(planes), int(meta["lb"]), extra
     except Exception:
         return None

@@ -104,14 +104,16 @@ def shard_hash_tables(
     vals_dense: np.ndarray,
     offsets: np.ndarray,
     n_shards: int,
+    hash_sink: list | None = None,  # appended with (host_stack, lb, bounds)
 ) -> ShardedHashPlanes:
     """Partition keys by minimizer range (same invariant as the bsearch
     shards) and build one hash table per shard, padded to a common size.
 
     Building every shard at the common lb up front (the max of the
     per-shard minimums; equal-key partitioning keeps them equal in
-    practice) avoids rebuild passes."""
-    import jax.numpy as jnp
+    practice) avoids rebuild passes. The stack is assembled on HOST and
+    device_put once; `hash_sink` receives the host stack for cache writers."""
+    import jax
 
     from ..db.hash_table import build_hash_table, min_lb_for
 
@@ -120,14 +122,17 @@ def shard_hash_tables(
     key_slices = [(int(offsets[lo]), int(offsets[hi])) for lo, hi in bounds]
     vmax = int(vals_dense.max()) if len(vals_dense) else 0
     lb = max(min_lb_for(khi - klo, vmax) for klo, khi in key_slices)
-    tables = []
-    for klo, khi in key_slices:
-        t, _ = build_hash_table(
-            keys[klo:khi], vals[klo:khi], vals_dense[klo:khi], force_lb=lb
+    host_stack = np.zeros((n_shards, 1 << lb, 4), np.uint32)
+    for i, (klo, khi) in enumerate(key_slices):
+        _, _, host = build_hash_table(
+            keys[klo:khi], vals[klo:khi], vals_dense[klo:khi], force_lb=lb,
+            keep_host=True, to_device=False,
         )
-        tables.append(t[0])
+        host_stack[i] = host[0]
+    if hash_sink is not None:
+        hash_sink.append((host_stack, lb, bounds))
     return ShardedHashPlanes(
-        fused=jnp.stack(tables),
+        fused=jax.device_put(host_stack),
         lb=lb,
         bounds=bounds,
     )
