@@ -49,6 +49,7 @@ from .._native_build import ensure_native
 _native = ensure_native()  # None -> pure-Python host path
 
 DEF_WORK_UNIT_SIZE = 500_000  # bp, classify.cpp:38
+_LINK_WARM = False  # process-wide: the transfer ramp is paid once
 _PROFILE = bool(os.environ.get("KRAKENUNIQ_TPU_PROFILE"))
 _CHUNK_BYTES = 32 << 20
 
@@ -404,10 +405,12 @@ class Classifier:
     def _warm_link(self):
         """Absorb the device link's first-transfer ramp (observed: the first
         sizeable download of a process can stall seconds where the sustained
-        rate is ~30MB/s) before it can hit a mid-pipeline fetch."""
-        if getattr(self, "_link_warm", False):
+        rate is ~30MB/s) before it can hit a mid-pipeline fetch. Once per
+        process: the ramp is a transport property, not a Classifier one."""
+        global _LINK_WARM
+        if _LINK_WARM:
             return
-        self._link_warm = True
+        _LINK_WARM = True
         try:
             # pure transfers (device_put + fetch), deliberately compile-free:
             # remote-compile latency is unbounded under contention and would
