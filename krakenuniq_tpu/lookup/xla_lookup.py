@@ -7,9 +7,20 @@ finds the k-mer; misses return taxon 0.
 This formulation replaces the reference's per-query cache-carrying scalar
 search with a fully vectorized masked lower-bound: every lane runs the same
 fixed trip count (ceil(log2(max_bin+1))+1), so the whole query batch is one
-fused loop of gathers -- no data-dependent control flow under jit. A Pallas
-kernel with query-sorting and DMA pipelining supersedes this for the hot
-path (lookup/pallas_lookup.py).
+fused loop of gathers -- no data-dependent control flow under jit.
+
+The default hot path is the fused hash probe (lookup/hash_lookup.py); this
+bsearch path remains as the build-time fallback and for databases loaded
+without a hash table.
+
+Pallas note (investigated and rejected, measurements on v5e): a hand-written
+lookup kernel needs random 16B-row access over a multi-GB HBM table. Mosaic's
+in-kernel gather supports only lane-wise 2D VMEM gathers (the table would
+have to fit in VMEM/128), and per-row `make_async_copy` DMAs cannot approach
+the XLA gather engine's ~0.33 ns/B on 8.5M-query batches. XLA row-gathers ARE
+the hardware path for this access pattern; the TPU-native leverage went into
+layout instead (fused 32B/query probe rows, sort+searchsorted register max
+replacing scatter, dense RLE rows, mode-specific output sets).
 """
 
 from __future__ import annotations

@@ -50,13 +50,25 @@ def main():
     W = LB - k + 1
 
     cache = os.path.expanduser("~/.cache/kuniq_bench_db_40_120000_31_9_v4.npz")
-    z = np.load(cache, allow_pickle=True)
-    fused = jax.device_put(z["fused"])
-    hash_lb = int(z["hash_lb"])
+    if os.path.exists(cache):
+        z = np.load(cache, allow_pickle=True)
+        fused_host, hash_lb = z["fused"], int(z["hash_lb"])
+    else:
+        print("bench DB cache missing; building a fresh demo table "
+              "(run bench.py once to cache it)", file=sys.stderr)
+        from krakenuniq_tpu.db.hash_table import build_hash_table
+        from krakenuniq_tpu.utils.demo import make_demo_db
+
+        keys, vals, _offsets, _tax, _genomes = make_demo_db(
+            n_species=40, genome_len=120_000, k=31, nt=9)
+        (dfused,), hash_lb = build_hash_table(
+            keys, vals, _tax.dense_index(vals))
+        fused_host = np.asarray(dfused)
+    fused = jax.device_put(fused_host)
     tax, _ = make_demo_taxonomy(40)
     n_taxa = tax.size
     print(f"B={B} LB={LB} W={W} taxa={n_taxa} lb={hash_lb} "
-          f"table={z['fused'].nbytes / 1e6:.0f}MB", file=sys.stderr)
+          f"table={fused_host.nbytes / 1e6:.0f}MB", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     codes_packed = jax.device_put(
@@ -132,10 +144,15 @@ def main():
             codes_packed, ambig_packed, lengths, cfg)
         return sink["f"]["packed"]
 
+    # classify_and_count donates the counter state (args 0-2); rebind the
+    # returned state each call or rep 2 would probe deleted buffers
+    state = [reg0, kc0, rc0]
+
     def ph_fused():
         out, st = ds.classify_and_count(
-            reg0, kc0, rc0, ((fused,),), taxid_table, *targs, root,
+            *state, ((fused,),), taxid_table, *targs, root,
             codes_packed, ambig_packed, lengths, np.int32(B), cfg, 12)
+        state[:] = st
         sink["c"] = out
         return out["packed"]
 
