@@ -107,13 +107,30 @@ def build_device_db(
             host_planes, hlb = cached_hash
             htable = tuple(jax.device_put(p, device) for p in host_planes)
         else:
-            htable, hlb, host_planes = build_hash_table(
-                keys, vals, vals_dense, store_raw=store_raw, keep_host=True
-            )
-            if device is not None:
-                htable = tuple(jax.device_put(p, device) for p in host_planes)
-            if hash_sink is not None:
-                hash_sink.append((host_planes, hlb))
+            from .hash_table import HashBuildError
+
+            try:
+                htable, hlb, host_planes = build_hash_table(
+                    keys, vals, vals_dense, store_raw=store_raw, keep_host=True
+                )
+            except HashBuildError as e:
+                # never hard-fail on valid input: the bsearch planes answer
+                # every query the hash table would (krakendb.cpp:250-321's
+                # always-works search); slower but correct
+                import sys
+
+                print(
+                    f"warning: hash-table build failed ({e}); "
+                    "falling back to binary-search lookup",
+                    file=sys.stderr,
+                )
+                use_hash = False
+            else:
+                if device is not None:
+                    htable = tuple(jax.device_put(p, device) for p in host_planes)
+                if hash_sink is not None:
+                    hash_sink.append((host_planes, hlb))
+    if use_hash:
         # the sorted planes stay on host: the lookup never touches them, and
         # dropping them from HBM nearly doubles the database capacity per chip
         dk, dv, dvd, doff = keys, vals, vals_dense, offsets

@@ -95,7 +95,13 @@ def partial_tags(h, lb: int):
     return ((h << np.uint64(lb)) >> np.uint64(32)).astype(jnp.uint32)
 
 
-def _host_place(hashes: np.ndarray, lb: int, max_rounds: int = 400):
+class HashBuildError(RuntimeError):
+    """Cuckoo placement (or the exactness self-check) failed at every
+    attempted table size. Callers fall back: `build_device_db` keeps the
+    bsearch planes, `shard_hash_tables` rebuilds the whole stack larger."""
+
+
+def _host_place(hashes: np.ndarray, lb: int, max_rounds: int = 400, seed: int = 0):
     """Two-choice cuckoo placement with eviction, vectorized over the whole
     unplaced ("active") set per round.
 
@@ -125,7 +131,9 @@ def _host_place(hashes: np.ndarray, lb: int, max_rounds: int = 400):
         t = target[active]
         s0 = slots[t * 2]
         s1 = slots[t * 2 + 1]
-        coin = ((hashes[active] >> np.uint64(rnd % 61)) & np.uint64(1)).astype(np.int64)
+        coin = (
+            (hashes[active] >> np.uint64((rnd + seed) % 61)) & np.uint64(1)
+        ).astype(np.int64)
         want = np.where(s0 < 0, t * 2, np.where(s1 < 0, t * 2 + 1, t * 2 + coin))
         # claim-verify: lowest key index wins a contested slot
         np.minimum.at(claim, want, active)
@@ -302,35 +310,42 @@ def build_hash_table(
     load_factor = the MAX keys/slots ratio (power-of-two table sizing means
     the actual load lands in [load_factor/2, load_factor]); batch cuckoo
     placement of 2-slot two-choice buckets succeeds reliably up to the
-    ~0.897 theoretical threshold. If placement or the exactness
-    self-validation fails, the table is grown (at most twice) before giving
-    up. force_lb pins the size (used to stack uniformly-sized shard tables).
-    self_check=False skips the device probe (callers that keep planes on
-    host, e.g. cache writers, avoid the HBM round trip)."""
+    ~0.897 theoretical threshold. If placement stalls, it is retried with a
+    fresh eviction-coin sequence, then the table is grown until lb=30 (the
+    flat-row-index int32 bound; a larger table would exceed HBM anyway).
+    force_lb pins the size (used to stack uniformly-sized shard tables);
+    with force_lb only the seed retries apply. All failure paths raise
+    HashBuildError so callers can fall back (bsearch planes / a larger
+    uniform stack) instead of dying. self_check=False skips the probe
+    validation (callers that keep planes on host, e.g. cache writers, avoid
+    the HBM round trip)."""
     n = len(keys)
     hashes = murmur3_finalizer(np.ascontiguousarray(keys, dtype=np.uint64))
     values = np.asarray(vals if store_raw else vals_dense).astype(np.uint32)
     vmax = int(values.max()) if n else 0
     if force_lb is not None:
         lb = force_lb
-        attempts = 1
         if not store_raw and vmax >> (lb - 1):
             raise ValueError(
                 f"force_lb={lb} cannot hold value {vmax} in {lb - 1} bits"
             )
+        lb_max = lb
     else:
         lb = (
             max(4, int(np.ceil(np.log2(max(n, 2) / (BUCKET_SLOTS * load_factor)))))
             if store_raw
             else min_lb_for(n, vmax, load_factor)
         )
-        attempts = 3
+        lb_max = 30
     if lb > 30:
-        # flat row index must fit int32; larger tables exceed HBM anyway
-        raise ValueError(f"hash table of 2^{lb} buckets is not supported")
-    for _ in range(attempts):
-        assign = _host_place(hashes, lb)
-        if assign is not None:
+        raise HashBuildError(
+            f"hash table of 2^{lb} buckets is not supported ({n} keys)"
+        )
+    while lb <= lb_max:
+        for seed in range(3):  # fresh eviction-coin walks before growing
+            assign = _host_place(hashes, lb, seed=seed * 17)
+            if assign is None:
+                continue
             if store_raw:
                 host = _host_planes_two(assign, hashes, values, lb)
             else:
@@ -339,6 +354,7 @@ def build_hash_table(
                 planes = tuple(jax.device_put(p) for p in host) if to_device else None
                 return (planes, lb, host) if keep_host else (planes, lb)
         lb += 1
-    raise RuntimeError(
-        f"hash table placement failed for {n} keys even at 2^{lb - 1} buckets"
+    raise HashBuildError(
+        f"hash table placement failed for {n} keys up to 2^{lb - 1} buckets"
+        + (f" (force_lb={force_lb})" if force_lb is not None else "")
     )

@@ -111,24 +111,38 @@ def shard_hash_tables(
 
     Building every shard at the common lb up front (the max of the
     per-shard minimums; equal-key partitioning keeps them equal in
-    practice) avoids rebuild passes. The stack is assembled on HOST and
-    device_put once; `hash_sink` receives the host stack for cache writers."""
+    practice) avoids rebuild passes; a shard whose placement stalls at the
+    common lb (adversarially skewed key sets) restarts the whole stack one
+    bit larger so the SPMD layout stays uniform. The stack is assembled on
+    HOST and device_put once; `hash_sink` receives the host stack for cache
+    writers."""
     import jax
 
-    from ..db.hash_table import build_hash_table, min_lb_for
+    from ..db.hash_table import HashBuildError, build_hash_table, min_lb_for
 
     bounds = partition_bins_equal_keys(offsets, n_shards)
     offsets = np.asarray(offsets, dtype=np.int64)
     key_slices = [(int(offsets[lo]), int(offsets[hi])) for lo, hi in bounds]
     vmax = int(vals_dense.max()) if len(vals_dense) else 0
     lb = max(min_lb_for(khi - klo, vmax) for klo, khi in key_slices)
-    host_stack = np.zeros((n_shards, 1 << lb, 4), np.uint32)
-    for i, (klo, khi) in enumerate(key_slices):
-        _, _, host = build_hash_table(
-            keys[klo:khi], vals[klo:khi], vals_dense[klo:khi], force_lb=lb,
-            keep_host=True, to_device=False,
-        )
-        host_stack[i] = host[0]
+    while True:
+        if lb > 30:
+            raise HashBuildError(
+                f"sharded hash stack does not fit 2^30 buckets/shard "
+                f"({n_shards} shards)"
+            )
+        host_stack = np.zeros((n_shards, 1 << lb, 4), np.uint32)
+        try:
+            for i, (klo, khi) in enumerate(key_slices):
+                _, _, host = build_hash_table(
+                    keys[klo:khi], vals[klo:khi], vals_dense[klo:khi], force_lb=lb,
+                    keep_host=True, to_device=False,
+                )
+                host_stack[i] = host[0]
+        except HashBuildError:
+            lb += 1
+            continue
+        break
     if hash_sink is not None:
         hash_sink.append((host_stack, lb, bounds))
     return ShardedHashPlanes(

@@ -166,3 +166,69 @@ def test_ht_disk_cache(tmp_path):
     with open(d / "taxDB", "a") as fh:
         fh.write("\n")
     assert load_ht_cache(ht_path, str(d / "database.kdb"), str(d / "taxDB"), False) is None
+
+
+def test_high_load_placement(rng):
+    """Placement succeeds at load factors near the two-choice threshold:
+    force_lb pinning the table so the load is ~0.85 of slots."""
+    lb = 14
+    n = int((1 << lb) * BUCKET_SLOTS * 0.85)
+    keys = np.unique(rng.integers(0, 1 << 62, size=int(n * 1.2), dtype=np.uint64))[:n]
+    assert len(keys) == n
+    vals = rng.integers(1, 1 << 16, size=n, dtype=np.uint32)
+    vals_dense = rng.integers(1, 1 << (lb - 1), size=n).astype(np.int32)
+    planes, got_lb = build_hash_table(keys, vals, vals_dense, force_lb=lb)
+    assert got_lb == lb
+    w = np.asarray(
+        hash_lookup_kmers(planes, murmur3_finalizer(keys), np.ones(n, bool), lb)
+    )
+    np.testing.assert_array_equal(w.astype(np.int32), vals_dense)
+
+
+def test_skewed_shard_stack_grows(rng):
+    """shard_hash_tables survives adversarially skewed shards: the common lb
+    grows until every shard places, and every key still resolves."""
+    from krakenuniq_tpu.parallel.partition import shard_hash_tables
+
+    # skew: nearly all keys land in the first minimizer bin, so equal-key
+    # partitioning cannot split them and one shard carries ~everything
+    n = 30000
+    keys = np.sort(np.unique(rng.integers(0, 1 << 62, size=n, dtype=np.uint64)))
+    n = len(keys)
+    vals = rng.integers(1, 1 << 16, size=n, dtype=np.uint32)
+    vals_dense = rng.integers(1, 1 << 12, size=n).astype(np.int32)
+    n_bins = 64
+    offsets = np.zeros(n_bins + 1, dtype=np.uint64)
+    offsets[1:] = n - (n_bins - 1)  # bin 0 holds all but one key per tail bin
+    offsets[-n_bins + 1 :] = np.arange(n - (n_bins - 1) + 1, n + 1)
+    sharded = shard_hash_tables(keys, vals, vals_dense, offsets, 4)
+    assert sharded.n_shards == 4
+    # every key resolves through its shard's table
+    fused = np.asarray(sharded.fused)
+    hit = np.zeros(n, dtype=np.int64)
+    for s in range(4):
+        w = np.asarray(
+            hash_lookup_kmers(
+                (fused[s],), murmur3_finalizer(keys), np.ones(n, bool), sharded.lb
+            )
+        )
+        hit += w.astype(np.int64)
+    np.testing.assert_array_equal(hit, vals_dense.astype(np.int64))
+
+
+def test_bsearch_fallback_on_hash_failure(monkeypatch, rng, tmp_path):
+    """build_device_db falls back to bsearch planes when the hash build
+    raises, and classification-by-lookup still answers correctly."""
+    from krakenuniq_tpu.db import device_db as dd
+    from krakenuniq_tpu.db.hash_table import HashBuildError
+
+    def boom(*a, **k):
+        raise HashBuildError("synthetic failure")
+
+    monkeypatch.setattr(dd, "build_hash_table", boom)
+    keys = np.sort(np.unique(rng.integers(0, 1 << 62, size=500, dtype=np.uint64)))
+    vals = rng.integers(1, 100, size=len(keys), dtype=np.uint32)
+    offsets = np.array([0, len(keys)], dtype=np.int64)
+    db = dd.build_device_db(keys, vals, offsets, k=31, nt=0, taxonomy=None)
+    assert db.hash_table is None  # bsearch planes in place instead
+    assert np.asarray(db.keys).shape == keys.shape
