@@ -84,7 +84,9 @@ class StepConfig:
     max_runs: int = 0  # if > 0, emit RLE hit-list runs (packed single-fetch output)
     # "hash": bucketed row-gather lookup (planes are (table,), bucket bits in
     # hash_lbs); "bsearch": two-level binary search (planes are
-    # (keys, vals, vals_dense, offsets, bin_start))
+    # (keys, vals, vals_dense, offsets, bin_start)); "acc": out-of-core
+    # finish pass -- db_planes IS the uint32 [B, W] word plane accumulated by
+    # probe_chunk over all chunk tables (classify.cpp:676-723's final pass)
     lookup_mode: str = "bsearch"
     hash_lbs: tuple = ()  # per-database bucket bits (static)
     # per-database: True when the hash table stores raw 32-bit DB values (UID
@@ -146,6 +148,16 @@ def classify_step_core(
     taxon = jnp.zeros((b, w), dtype=jnp.uint32)
     taxon_dense = jnp.zeros((b, w), dtype=jnp.int32)
     found = jnp.zeros((b, w), dtype=bool)
+    if cfg.lookup_mode == "acc":
+        # out-of-core finish: db_planes is the merged word plane (already
+        # masked to searched lanes at probe time; re-masking is a no-op)
+        word = jnp.where(search, db_planes, jnp.uint32(0))
+        if cfg.raw_dbs and cfg.raw_dbs[0]:
+            taxon = word
+        else:
+            taxon_dense = word.astype(jnp.int32)
+        found = word != 0
+        db_planes = ()
     # hierarchical multi-DB: later DBs only fill lanes still unclassified
     # (classify.cpp:927-936)
     for db_i, plane in enumerate(db_planes):
@@ -179,11 +191,8 @@ def classify_step_core(
             taxon_dense = jnp.where(remaining, td_i, taxon_dense)
             found = found | (t_i != 0)
 
-    any_raw = any(
-        (cfg.raw_dbs[i] if i < len(cfg.raw_dbs) else False)
-        for i in range(len(db_planes))
-    )
-    if cfg.lookup_mode == "hash":
+    any_raw = any(cfg.raw_dbs)
+    if cfg.lookup_mode in ("hash", "acc"):
         # dense-valued DBs store only the dense id; recover original taxids
         # for the hit-list/output planes (taxid_table[0] == 0, so misses map
         # to 0). A full-plane element-gather costs ~90ms at [65536, 120], so
@@ -372,6 +381,43 @@ def _pack_runs(ids, kmer_ambig, valid, call, hits, n_kmers, max_runs, *, dense_w
 
 
 classify_step = jax.jit(classify_step_core, static_argnames=("cfg",))
+
+
+def _probe_chunk_core(
+    acc: jax.Array,  # uint32 [B, W]: merged word plane so far (donated)
+    planes: tuple,  # one resident chunk's hash planes (db/hash_table.py)
+    codes: jax.Array,
+    ambig: jax.Array,
+    lengths: jax.Array,
+    cfg: StepConfig,
+):
+    """One out-of-core pass: probe a single resident chunk table and fold its
+    hits into the accumulated word plane.
+
+    The merge is a precedence select (keep the first nonzero word): within
+    one database it never conflicts -- each k-mer's minimizer lives in
+    exactly one chunk, the invariant the reference's chunk merge asserts
+    (classify.cpp:447) -- and across hierarchically-ordered databases it IS
+    the first-DB-wins rule (classify.cpp:927-936), provided chunks are
+    probed in database order."""
+    if cfg.packed_input:
+        codes, ambig = unpack_input(codes, ambig)
+    k = cfg.k
+    b, lb_len = codes.shape
+    w = lb_len - k + 1
+    canon = kops.canonical_representation(kops.pack_windows(codes, k), k)
+    kmer_ambig = kops.window_any(ambig, k)
+    hashes = murmur3_finalizer_device(canon)
+    pos = jnp.arange(w, dtype=jnp.int32)[None, :]
+    n_kmers = jnp.maximum(lengths - (k - 1), 0)[:, None]
+    search = (pos < n_kmers) & ~kmer_ambig
+    word = hash_lookup_kmers(planes, hashes, search, cfg.hash_lbs[0])
+    return jnp.where(acc != 0, acc, word)
+
+
+probe_chunk = jax.jit(
+    _probe_chunk_core, static_argnames=("cfg",), donate_argnums=(0,)
+)
 
 
 def _classify_and_count_core(

@@ -20,6 +20,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..db import DeviceDB, load_database_dir
@@ -41,7 +42,7 @@ from ..formats import read_kdb
 from ..report import TaxReport, DEFAULT_COLS, FULL_COLS
 from ..taxonomy import Taxonomy
 from .accumulate import TaxonCounter
-from .device_step import StepConfig, classify_step
+from .device_step import StepConfig, classify_step, probe_chunk
 from .output import kraken_line
 
 from .._native_build import ensure_native
@@ -93,6 +94,17 @@ class ClassifyOptions:
     # non-UID database; accumulation runs on host (exact-compat mode).
     mesh_data: int = 1
     mesh_db: int = 1
+    # out-of-core (--preload-size): HBM byte budget for resident database
+    # tables. When the databases' hash tables exceed it, they are split into
+    # minimizer-range chunk tables streamed through HBM serially, with hits
+    # folded into a per-span device accumulator (the temporal generalization
+    # the reference runs at classify.cpp:566-791). None/0 = everything
+    # resident.
+    preload_size: int | None = None
+    # out-of-core span grouping: spans whose accumulators+inputs fit this
+    # budget share one pass of the chunk tables through HBM (the analogue of
+    # the reference re-reading all reads per chunk, classify.cpp:587-648)
+    ooc_group_bytes: int = 2 << 30
 
 
 def _bucket(n: int, lo: int, step: int = 2) -> int:
@@ -143,8 +155,28 @@ class Classifier:
             self.uid_map = UidMap(os.path.join(self.db_dirs[0], "uid_to_taxid.map"))
         self.mesh = None
         self._sharded_planes = None
+        self._ooc = None  # list[ChunkedHashDB] in out-of-core mode
         n_md, n_mdb = self.opts.mesh_data, self.opts.mesh_db
-        if n_md * n_mdb > 1:
+        ps = self.opts.preload_size or 0
+        if ps and n_md * n_mdb > 1:
+            raise ValueError(
+                "--preload-size (out-of-core chunking) and --mesh are mutually "
+                "exclusive: shard spatially OR stream temporally"
+            )
+        if ps and self._estimate_table_bytes(uid_database) > ps:
+            from ..db.chunked import load_chunked_db
+
+            self._ooc = [
+                load_chunked_db(d, ps, self.taxonomy, uid_database=uid_database)
+                for d in self.db_dirs
+            ]
+            ks = {cdb.k for cdb in self._ooc}
+            if len(ks) != 1:
+                raise ValueError(f"Different k-mer sizes in databases: {sorted(ks)}")
+            self.k = self._ooc[0].k
+            self.nt = self._ooc[0].nt
+            self.dbs = []
+        elif n_md * n_mdb > 1:
             if uid_database:
                 raise ValueError("mesh mode is incompatible with UID mapping")
             if self.opts.device_counters:
@@ -217,11 +249,23 @@ class Classifier:
         self._tout = jax.device_put(tax.tout)
         self._parent = jax.device_put(tax.parent)
         self._root_dense = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
-        if self.mesh is not None:
+        if self._ooc is not None:
+            use_hash = False
+            lookup_mode = "acc"
+            hash_lbs = ()
+            raw_dbs = tuple(cdb.store_raw for cdb in self._ooc)
+            self._db_planes = None  # chunk tables stream through _ooc_probe
+        elif self.mesh is not None:
             use_hash = True
+            lookup_mode = "hash"
+            hash_lbs = ()
+            raw_dbs = ()
             self._db_planes = None  # lookups go through the sharded fns
         else:
             use_hash = all(db.hash_table is not None for db in self.dbs)
+            lookup_mode = "hash" if use_hash else "bsearch"
+            hash_lbs = tuple(db.hash_lb for db in self.dbs) if use_hash else ()
+            raw_dbs = tuple(db.store_raw for db in self.dbs) if use_hash else ()
             if use_hash:
                 self._db_planes = tuple(db.hash_table for db in self.dbs)
             else:
@@ -234,7 +278,9 @@ class Classifier:
             k=self.k,
             nt=self.nt,
             n_iter=(
-                self._mesh_n_iter
+                1
+                if self._ooc is not None
+                else self._mesh_n_iter
                 if self.mesh is not None
                 else max(db.search_iters for db in self.dbs)
             ),
@@ -248,9 +294,9 @@ class Classifier:
                 if (_native is not None and self.opts.use_native)
                 else 0
             ),
-            lookup_mode="hash" if use_hash else "bsearch",
-            hash_lbs=tuple(db.hash_lb for db in self.dbs) if use_hash else (),
-            raw_dbs=tuple(db.store_raw for db in self.dbs) if use_hash else (),
+            lookup_mode=lookup_mode,
+            hash_lbs=hash_lbs,
+            raw_dbs=raw_dbs,
         )
         # compact RLE rows (dense taxon ids, 40B/read): the device->host link
         # is the pipeline bottleneck, so fetch bytes are the cost model; UID
@@ -316,6 +362,75 @@ class Classifier:
         self.total_sequences = 0
         self.total_bases = 0
         self.total_classified = 0
+
+    # ------------------------------------------------------------ out-of-core
+
+    def _estimate_table_bytes(self, uid_database: bool) -> int:
+        """Resident-table HBM estimate across databases, from the kdb headers
+        alone (dense values are bounded by the taxonomy size)."""
+        from ..db.chunked import table_bytes
+        from ..formats.kdb import read_header
+
+        total = 0
+        for d in self.db_dirs:
+            name = "uid_database.kdb" if uid_database else "database.kdb"
+            hdr = read_header(os.path.join(d, name))
+            total += table_bytes(hdr.key_ct, self.taxonomy.size - 1, uid_database)
+        return total
+
+    def _probe_cfg(self, db_i: int, packed: bool) -> "StepConfig":
+        """Static config for probe_chunk against database db_i's chunks."""
+        cdb = self._ooc[db_i]
+        return StepConfig(
+            k=self.k,
+            nt=self.nt,
+            n_iter=1,
+            max_depth=self.taxonomy.max_depth,
+            lookup_mode="hash",
+            hash_lbs=(cdb.lb,),
+            raw_dbs=(cdb.store_raw,),
+            packed_input=packed,
+        )
+
+    def _ooc_probe_group(self, spans: list, packed: bool) -> None:
+        """Stream every chunk table through HBM ONCE for a group of spans:
+        the outer-chunk/inner-reads loop of classify.cpp:587-648, with the
+        on-disk hit merge replaced by a donated device accumulator. Each
+        entry of `spans` is a dict with codes/ambig/lengths device arrays and
+        an `acc` that this fills."""
+        for st in spans:
+            if st["acc"] is None:
+                b = st["codes"].shape[0]
+                lb_len = st["codes"].shape[1] * 16 if packed else st["codes"].shape[1]
+                st["acc"] = jnp.zeros((b, lb_len - self.k + 1), jnp.uint32)
+        for db_i, cdb in enumerate(self._ooc):
+            pcfg = self._probe_cfg(db_i, packed)
+            for planes in cdb.chunk_planes:
+                dev = tuple(jax.device_put(p) for p in planes)
+                for st in spans:
+                    st["acc"] = probe_chunk(
+                        st["acc"], dev, st["codes"], st["ambig"], st["lengths"], pcfg
+                    )
+                del dev  # refcount drop; freed once the last probe retires
+
+    def _ooc_device_step(self, codes, ambig, lengths, cfg: "StepConfig"):
+        """Single-span out-of-core step (python/long-read paths): chunk loop
+        then the finish pass. The native span path groups spans instead
+        (_run_native)."""
+        st = {"codes": codes, "ambig": ambig, "lengths": lengths, "acc": None}
+        self._ooc_probe_group([st], packed=cfg.packed_input)
+        return classify_step(
+            st["acc"],
+            self._taxid_table,
+            self._tin,
+            self._tout,
+            self._parent,
+            self._root_dense,
+            codes,
+            ambig,
+            lengths,
+            cfg,
+        )
 
     # ------------------------------------------------------------ unit input
 
@@ -420,43 +535,16 @@ class Classifier:
         except Exception:
             pass
 
-    def _run_native(self, path, kraken_fh, classified_fh, unclassified_fh) -> None:
-        from collections import deque
-
-        if _PROFILE:
-            t_w = time.time()
-        self._warm_link()
-        if _PROFILE:
-            sys.stderr.write(f"\n[warm_link {1e3*(time.time()-t_w):.0f}ms]")
-            self._prof_last = time.time()
-        pending = deque()  # spans in flight, ordered; bounded by _PIPELINE_DEPTH
+    def _iter_native_spans(self, path):
+        """Parse and cut the input into device-batch span descriptors, in
+        read order: ("span", buf, span_offs, unit_bounds, fastq), or
+        ("fallback", buf, offs, None, fastq) for byte chunks that need Python
+        records (multi-line FASTA / overlong reads)."""
         for buf, offs, multi, fastq in self._native_chunks(path):
             overlong = bool((np.abs(offs[:, 5]) > self.opts.max_read_len).any())
             if multi or overlong:
-                # rare: multi-line FASTA or overlong reads -> Python records;
-                # flush any in-flight spans first to keep output ordered
-                while pending:
-                    self._finish_native_span(
-                        pending.popleft(), kraken_fh, classified_fh, unclassified_fh
-                    )
-                from io import StringIO
-
-                text = buf.decode("ascii", "replace")
-                reader = read_fastq(StringIO(text)) if fastq else read_fasta(StringIO(text))
-                recs = list(reader)[: len(offs)]
-                unit: list[DNASequence] = []
-                total_nt = 0
-                for dna in recs:
-                    unit.append(dna)
-                    total_nt += len(dna.seq)
-                    if total_nt >= self.opts.work_unit_size:
-                        self._process_unit(unit, fastq, kraken_fh, classified_fh, unclassified_fh)
-                        unit, total_nt = [], 0
-                if unit:
-                    self._process_unit(unit, fastq, kraken_fh, classified_fh, unclassified_fh)
-                self._progress()
+                yield ("fallback", buf, offs, None, fastq)
                 continue
-
             # split records into work units by cumulative sequence length,
             # then group consecutive units into one device dispatch
             seq_lens = offs[:, 5]
@@ -478,20 +566,113 @@ class Classifier:
                     j += 1
                 span = offs[bounds[i] : bounds[j]]
                 unit_bounds = [b - bounds[i] for b in bounds[i : j + 1]]
-                st = self._start_native_span(buf, span, unit_bounds, fastq)
-                pending.append(st)
-                # overlap: the device crunches the newest span(s) while the
-                # host formats the oldest one
-                while len(pending) > self._PIPELINE_DEPTH:
+                yield ("span", buf, span, unit_bounds, fastq)
+                i = j
+
+    def _python_fallback_chunk(
+        self, buf, offs, fastq, kraken_fh, classified_fh, unclassified_fh
+    ) -> None:
+        """Route one parsed byte chunk through the Python-record path (rare:
+        multi-line FASTA or overlong reads)."""
+        from io import StringIO
+
+        text = buf.decode("ascii", "replace")
+        reader = read_fastq(StringIO(text)) if fastq else read_fasta(StringIO(text))
+        recs = list(reader)[: len(offs)]
+        unit: list[DNASequence] = []
+        total_nt = 0
+        for dna in recs:
+            unit.append(dna)
+            total_nt += len(dna.seq)
+            if total_nt >= self.opts.work_unit_size:
+                self._process_unit(unit, fastq, kraken_fh, classified_fh, unclassified_fh)
+                unit, total_nt = [], 0
+        if unit:
+            self._process_unit(unit, fastq, kraken_fh, classified_fh, unclassified_fh)
+        self._progress()
+
+    def _run_native(self, path, kraken_fh, classified_fh, unclassified_fh) -> None:
+        from collections import deque
+
+        if _PROFILE:
+            t_w = time.time()
+        self._warm_link()
+        if _PROFILE:
+            sys.stderr.write(f"\n[warm_link {1e3*(time.time()-t_w):.0f}ms]")
+            self._prof_last = time.time()
+        if self._ooc is not None:
+            return self._run_native_ooc(path, kraken_fh, classified_fh, unclassified_fh)
+        pending = deque()  # spans in flight, ordered; bounded by _PIPELINE_DEPTH
+        for kind, buf, offs, unit_bounds, fastq in self._iter_native_spans(path):
+            if kind == "fallback":
+                # flush any in-flight spans first to keep output ordered
+                while pending:
                     self._finish_native_span(
                         pending.popleft(), kraken_fh, classified_fh, unclassified_fh
                     )
-                i = j
+                self._python_fallback_chunk(
+                    buf, offs, fastq, kraken_fh, classified_fh, unclassified_fh
+                )
+                continue
+            st = self._start_native_span(buf, offs, unit_bounds, fastq)
+            pending.append(st)
+            # overlap: the device crunches the newest span(s) while the
+            # host formats the oldest one
+            while len(pending) > self._PIPELINE_DEPTH:
+                self._finish_native_span(
+                    pending.popleft(), kraken_fh, classified_fh, unclassified_fh
+                )
             self._progress()
         while pending:
             self._finish_native_span(
                 pending.popleft(), kraken_fh, classified_fh, unclassified_fh
             )
+        self._progress()
+
+    def _run_native_ooc(self, path, kraken_fh, classified_fh, unclassified_fh) -> None:
+        """Out-of-core drive: spans accumulate into a group until the group
+        budget fills, then every chunk table makes ONE pass through HBM for
+        the whole group (classify.cpp:587-648's outer-chunk loop) and the
+        group is finished span by span."""
+        from collections import deque
+
+        group: list[dict] = []
+        group_bytes = 0
+
+        def flush():
+            nonlocal group, group_bytes
+            if not group:
+                return
+            self._ooc_probe_group(group, packed=True)
+            out_q = deque()
+            for st in group:
+                out_q.append(self._dispatch_ooc_finish(st))
+                while len(out_q) > self._PIPELINE_DEPTH:
+                    self._finish_native_span(
+                        out_q.popleft(), kraken_fh, classified_fh, unclassified_fh
+                    )
+            while out_q:
+                self._finish_native_span(
+                    out_q.popleft(), kraken_fh, classified_fh, unclassified_fh
+                )
+            group, group_bytes = [], 0
+            self._progress()
+
+        for kind, buf, offs, unit_bounds, fastq in self._iter_native_spans(path):
+            if kind == "fallback":
+                flush()  # keep output ordered
+                self._python_fallback_chunk(
+                    buf, offs, fastq, kraken_fh, classified_fh, unclassified_fh
+                )
+                continue
+            st = self._start_ooc_span(buf, offs, unit_bounds, fastq)
+            if st is None:
+                continue
+            group.append(st)
+            group_bytes += st["bytes"]
+            if group_bytes >= self.opts.ooc_group_bytes:
+                flush()
+        flush()
         self._progress()
 
     def _start_native_span(self, buf, offs, unit_bounds, fastq):
@@ -556,30 +737,111 @@ class Classifier:
                 lengths,
                 self._cfg_packed,
             )
-        if self._cfg.max_runs > 0:
-            # fetch only the rows that hold reads: tail spans land in a padded
-            # height bucket, and transfer bytes -- not device flops -- are the
-            # span cost. Rows are rounded to a coarse grid so the device-side
-            # slice program compiles once per (bucket, grid) pair. taxa/ambig
-            # stay full-height (they are row-gathered on demand).
-            fetch_rows = min(b, -(-n_span // 8192) * 8192)
-            if fetch_rows < b:
-                for key in ("packed", "hll_pairs", "hll_enc", "hll_dense", "hll_lanes", "canon"):
-                    if key in out:
-                        out[key] = out[key][:fetch_rows]
-        # force the (possibly lazy) transport to start executing and moving
-        # the packed matrix now, so the host-side finish of the PREVIOUS span
-        # genuinely overlaps this span's device work
-        try:
-            out["packed" if self._cfg.max_runs > 0 else "call"].copy_to_host_async()
-        except (AttributeError, KeyError):
-            pass
+        self._slice_and_prefetch(out, b, n_span)
         if _PROFILE:
             t2 = time.time()
             sys.stderr.write(
                 f"\n[span b={b} lb={lb}] encode {1e3*(t1-t0):.0f}ms dispatch {1e3*(t2-t1):.0f}ms"
             )
         return (buf, offs_c, unit_bounds, fastq, out, seq_lens, n_span)
+
+    def _slice_and_prefetch(self, out: dict, b: int, n_span: int) -> None:
+        """Fetch only the rows that hold reads: tail spans land in a padded
+        height bucket, and transfer bytes -- not device flops -- are the
+        span cost. Rows are rounded to a coarse grid so the device-side
+        slice program compiles once per (bucket, grid) pair. taxa/ambig
+        stay full-height (they are row-gathered on demand). Then force the
+        (possibly lazy) transport to start moving the packed matrix now, so
+        the host-side finish of the PREVIOUS span genuinely overlaps this
+        span's device work."""
+        if self._cfg.max_runs > 0:
+            fetch_rows = min(b, -(-n_span // 8192) * 8192)
+            if fetch_rows < b:
+                for key in ("packed", "hll_pairs", "hll_enc", "hll_dense", "hll_lanes", "canon"):
+                    if key in out:
+                        out[key] = out[key][:fetch_rows]
+        try:
+            out["packed" if self._cfg.max_runs > 0 else "call"].copy_to_host_async()
+        except (AttributeError, KeyError):
+            pass
+
+    def _start_ooc_span(self, buf, offs, unit_bounds, fastq):
+        """Encode and upload one span for the out-of-core group; the chunk
+        probes and the finish dispatch happen at group flush."""
+        n_span = len(offs)
+        if n_span == 0:
+            return None
+        seq_lens = np.ascontiguousarray(offs[:, 5].astype(np.int32))
+        max_len = int(seq_lens.max())
+        lb = _bucket_len(max(max_len, self.k), max(128, self.k))
+        b = _bucket(n_span, 1024, step=8)
+        offs_c = np.ascontiguousarray(offs)
+        codes, ambig_arr, lengths = _native.encode_unit_packed(buf, offs_c, lb, b)
+        codes_d = jax.device_put(codes)
+        ambig_d = jax.device_put(ambig_arr)
+        lengths_d = jax.device_put(lengths)
+        w = lb - self.k + 1
+        return {
+            "buf": buf,
+            "offs": offs_c,
+            "unit_bounds": unit_bounds,
+            "fastq": fastq,
+            "seq_lens": seq_lens,
+            "n_span": n_span,
+            "b": b,
+            "codes": codes_d,
+            "ambig": ambig_d,
+            "lengths": lengths_d,
+            "acc": None,
+            # device bytes this span pins across the chunk loop
+            "bytes": codes.nbytes + ambig_arr.nbytes + lengths.nbytes + b * w * 4,
+        }
+
+    def _dispatch_ooc_finish(self, st: dict):
+        """Run the finish pass (resolve/HLL/RLE from the merged word plane)
+        for one probed span; returns the _finish_native_span state tuple."""
+        if self.dev_counters is not None:
+            from .device_step import classify_and_count
+
+            out, state = classify_and_count(
+                *self.dev_counters.state(),
+                st["acc"],
+                self._taxid_table,
+                self._tin,
+                self._tout,
+                self._parent,
+                self._root_dense,
+                st["codes"],
+                st["ambig"],
+                st["lengths"],
+                np.int32(st["n_span"]),
+                self._cfg_packed,
+                self.dev_counters.p,
+            )
+            self.dev_counters.set_state(state)
+        else:
+            out = classify_step(
+                st["acc"],
+                self._taxid_table,
+                self._tin,
+                self._tout,
+                self._parent,
+                self._root_dense,
+                st["codes"],
+                st["ambig"],
+                st["lengths"],
+                self._cfg_packed,
+            )
+        self._slice_and_prefetch(out, st["b"], st["n_span"])
+        return (
+            st["buf"],
+            st["offs"],
+            st["unit_bounds"],
+            st["fastq"],
+            out,
+            st["seq_lens"],
+            st["n_span"],
+        )
 
     def _finish_native_span(self, st, kraken_fh, classified_fh, unclassified_fh):
         if st is None:
@@ -733,6 +995,8 @@ class Classifier:
     # ------------------------------------------------------------ shared core
 
     def _device_step(self, codes, ambig, lengths):
+        if self._ooc is not None:
+            return self._ooc_device_step(codes, ambig, lengths, self._cfg)
         if self.mesh is not None:
             return dict(self._sharded_fn(codes, ambig, lengths))
         return classify_step(
@@ -788,18 +1052,21 @@ class Classifier:
         b = _bucket(len(chunks), 8)
         enc_b = encode_batch(chunks, lb=lb, batch=b)
         cfg2 = _dc.replace(self._cfg, resolve=False, max_runs=0, quick=False)
-        out = classify_step(
-            self._db_planes,
-            self._taxid_table,
-            self._tin,
-            self._tout,
-            self._parent,
-            self._root_dense,
-            enc_b.codes,
-            enc_b.ambig,
-            enc_b.lengths,
-            cfg2,
-        )
+        if self._ooc is not None:
+            out = self._ooc_device_step(enc_b.codes, enc_b.ambig, enc_b.lengths, cfg2)
+        else:
+            out = classify_step(
+                self._db_planes,
+                self._taxid_table,
+                self._tin,
+                self._tout,
+                self._parent,
+                self._root_dense,
+                enc_b.codes,
+                enc_b.ambig,
+                enc_b.lengths,
+                cfg2,
+            )
         taxa_rows = np.asarray(out["taxa"])
         ambig_rows = np.asarray(out["ambig"])
         enc_rows = np.asarray(out["enc"])
@@ -980,19 +1247,24 @@ class Classifier:
         for i, d in enumerate(self.db_dirs):
             path = os.path.join(d, "database.kdb") + ".counts"  # "<kdb path>.counts"
             if not (os.path.exists(path) and os.path.getsize(path) > 0):
-                vd = (
-                    self._host_vals_dense
-                    if self.mesh is not None
-                    else np.asarray(self.dbs[i].vals_dense)
-                )
-                hist = np.bincount(vd, minlength=self.taxonomy.size)
-                active = np.flatnonzero(hist)
-                counts = {
-                    int(self.taxonomy.taxids[a]): int(hist[a]) for a in active
-                }
-                # values whose taxid was missing from the taxonomy land on
-                # dense 0 with vals != 0; fall back to the host histogram
-                if (vd == 0).any() and 0 in counts:
+                if self.mesh is not None:
+                    vd = self._host_vals_dense
+                elif self._ooc is not None:
+                    vd = self._ooc[i].vals_dense  # None for UID tables
+                else:
+                    vd = np.asarray(self.dbs[i].vals_dense)
+                counts = None
+                if vd is not None:
+                    hist = np.bincount(vd, minlength=self.taxonomy.size)
+                    active = np.flatnonzero(hist)
+                    counts = {
+                        int(self.taxonomy.taxids[a]): int(hist[a]) for a in active
+                    }
+                    # values whose taxid was missing from the taxonomy land on
+                    # dense 0 with vals != 0; fall back to the host histogram
+                    if (vd == 0).any() and 0 in counts:
+                        counts = None
+                if counts is None:
                     _, _, vals = read_kdb(os.path.join(d, "database.kdb"))
                     counts = counts_from_vals(vals)
                 write_counts(path, counts)

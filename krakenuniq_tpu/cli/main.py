@@ -4,9 +4,12 @@ the reference `krakenuniq` wrapper (scripts/krakenuniq:76-100, README.md:104-133
 Differences by design:
   * --threads is accepted but host threading is irrelevant; the device runs
     the hot path
-  * --preload / --preload-size are accepted no-ops: the database always
-    resides in device HBM (sharded across the mesh when larger than one
-    chip; see krakenuniq_tpu.parallel)
+  * --preload is an accepted no-op: the database already resides in device
+    HBM by default
+  * --preload-size bounds resident table HBM: databases over the budget are
+    classified out-of-core by streaming minimizer-range chunk tables through
+    device memory (krakenuniq_tpu.db.chunked), the temporal counterpart of
+    --mesh's spatial sharding (krakenuniq_tpu.parallel)
 """
 
 from __future__ import annotations
@@ -39,7 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", metavar="FILENAME", help="kraken output ('off' to suppress)")
     p.add_argument("--report-file", metavar="FILENAME", help="report output ('off' to suppress)")
     p.add_argument("--preload", action="store_true", help="accepted no-op (DB lives in HBM)")
-    p.add_argument("--preload-size", metavar="SIZE", help="accepted no-op (DB is mesh-sharded)")
+    p.add_argument(
+        "--preload-size",
+        metavar="SIZE",
+        help="HBM budget for resident database tables (e.g. 8G, 500M). "
+        "Databases whose tables exceed it are split into minimizer-range "
+        "chunk tables streamed through device memory (out-of-core "
+        "classification, reference classify.cpp:566-791)",
+    )
     p.add_argument("--paired", action="store_true", help="two input files are mate pairs")
     p.add_argument("--check-names", action="store_true")
     p.add_argument("--hll-precision", type=int, default=12)
@@ -66,6 +76,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", action="version", version=f"KrakenUniq-TPU version {__version__}")
     p.add_argument("files", nargs="*", help="FASTA/FASTQ input files (gz/bz2/xz ok)")
     return p
+
+
+def parse_size(s: str) -> int:
+    """Parse a byte size with an optional K/M/G/T suffix (powers of 1024,
+    matching the reference's --preload-size grammar, scripts/krakenuniq)."""
+    s = s.strip().upper().rstrip("B")
+    mult = 1
+    if s and s[-1] in "KMGT":
+        mult = 1024 ** ("KMGT".index(s[-1]) + 1)
+        s = s[:-1]
+    return int(float(s) * mult)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -118,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"--mesh expects DATAxDB (e.g. 2x4), got {args.mesh!r}", file=sys.stderr)
             return 1
 
+    preload_size = None
+    if args.preload_size:
+        try:
+            preload_size = parse_size(args.preload_size)
+        except ValueError:
+            print(f"bad --preload-size value {args.preload_size!r}", file=sys.stderr)
+            return 1
+
     opts = ClassifyOptions(
         quick=args.quick,
         min_hits=args.min_hits,
@@ -129,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
         device_counters=args.device_counters,
         mesh_data=mesh_data,
         mesh_db=mesh_db,
+        preload_size=preload_size,
     )
 
     inputs = list(args.files)

@@ -86,11 +86,10 @@ def load_ht_cache(
         if meta != _meta(kdb_path, taxdb_path, meta.get("lb", 0), store_raw, extra):
             return None
         planes = []
-        for i in range(4):
-            key = f"p{i}"
-            if key not in z:
-                break
-            planes.append(z[key])
+        i = 0
+        while f"p{i}" in z:  # chunked caches hold one entry per chunk plane
+            planes.append(z[f"p{i}"])
+            i += 1
         if not planes:
             return None
         return tuple(planes), int(meta["lb"]), extra

@@ -1,0 +1,198 @@
+"""Out-of-core (--preload-size) classification equals the in-HBM run.
+
+The reference guarantee being mirrored: chunked classification produces the
+same output as --preload (paper.md:112; chunk engine classify.cpp:566-791).
+Every test forces the table budget far below the single-table size so the
+database streams through in >= 3 chunks, then byte-compares kraken output
+and report against the resident run (and the golden fixtures where they
+exist).
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "golden", "data")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(DATA, "kraken.out")),
+    reason="golden fixture missing",
+)
+
+
+def _tiny_budget(db_dir, uid=False, frac=4):
+    """A budget that forces >= `frac`-way chunking of the db's table."""
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions  # noqa: F401
+    from krakenuniq_tpu.db.chunked import table_bytes
+    from krakenuniq_tpu.formats.kdb import read_header
+    from krakenuniq_tpu.taxonomy import Taxonomy
+
+    tax = Taxonomy.from_taxdb_file(os.path.join(db_dir, "taxDB"))
+    name = "uid_database.kdb" if uid else "database.kdb"
+    hdr = read_header(os.path.join(db_dir, name))
+    return max(1024, table_bytes(hdr.key_ct, tax.size - 1, uid) // frac)
+
+
+def _run(db_dirs, reads, opts_kw=None, uid=False):
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+
+    c = Classifier(
+        list(db_dirs),
+        ClassifyOptions(print_progress=False, **(opts_kw or {})),
+        uid_database=uid,
+    )
+    out, rep = io.StringIO(), io.StringIO()
+    c.run([reads], kraken_fh=out)
+    c.write_report(rep)
+    return out.getvalue(), rep.getvalue(), c
+
+
+def _chunks_used(c):
+    return sum(cdb.n_chunks for cdb in c._ooc) if c._ooc is not None else 0
+
+
+def test_plan_chunks_budget_respected():
+    from krakenuniq_tpu.db.chunked import _FUSED_BYTES_PER_BUCKET, plan_chunks
+
+    rng = np.random.default_rng(7)
+    bin_sizes = rng.integers(0, 2000, size=300)
+    offsets = np.concatenate([[0], np.cumsum(bin_sizes)])
+    budget = 256 * 1024
+    bounds, lb = plan_chunks(offsets, budget, max_value=5000, store_raw=False)
+    assert (1 << lb) * _FUSED_BYTES_PER_BUCKET <= budget
+    # chunks tile the bin space exactly
+    assert bounds[0][0] == 0 and bounds[-1][1] == 300
+    for (a, b), (c, d) in zip(bounds, bounds[1:]):
+        assert b == c
+    # every chunk's keys fit the planned table at placement load
+    for lo, hi in bounds:
+        assert offsets[hi] - offsets[lo] <= (1 << lb) * 2
+
+
+def test_plan_chunks_budget_too_small():
+    from krakenuniq_tpu.db.chunked import plan_chunks
+
+    offsets = np.array([0, 100000])
+    with pytest.raises(ValueError):
+        plan_chunks(offsets, 64, max_value=100, store_raw=False)
+
+
+@pytest.mark.parametrize("mode", ["default", "quick", "exact", "device_counters"])
+def test_ooc_matches_resident(tmp_path, mode):
+    reads = os.path.join(DATA, "reads.fa")
+    kw = {}
+    if mode == "quick":
+        kw = {"quick": True, "min_hits": 2}
+    elif mode == "exact":
+        kw = {"exact": True}
+    elif mode == "device_counters":
+        kw = {"device_counters": True}
+
+    out0, rep0, c0 = _run([DATA], reads, kw)
+    assert c0._ooc is None
+    budget = _tiny_budget(DATA)
+    out1, rep1, c1 = _run([DATA], reads, {**kw, "preload_size": budget})
+    assert c1._ooc is not None and _chunks_used(c1) >= 3
+    assert out0 == out1
+    assert rep0 == rep1
+    if mode == "default":
+        assert out1 == open(os.path.join(DATA, "kraken.out")).read()
+
+
+def test_ooc_uid(tmp_path):
+    reads = os.path.join(DATA, "reads.fa")
+    golden = os.path.join(DATA, "kraken_uid.out")
+    out0, rep0, c0 = _run([DATA], reads, uid=True)
+    budget = _tiny_budget(DATA, uid=True)
+    out1, rep1, c1 = _run([DATA], reads, {"preload_size": budget}, uid=True)
+    assert c1._ooc is not None and _chunks_used(c1) >= 2
+    assert out0 == out1
+    assert rep0 == rep1
+    assert out1 == open(golden).read()
+
+
+def test_ooc_hierarchical_multidb():
+    """Chunking composes with hierarchical multi-DB lookup: chunks are probed
+    in database order, so the precedence merge IS the first-DB-wins rule
+    (classify.cpp:927-936)."""
+    db1 = os.path.join(DATA, "db_viral")
+    db2 = os.path.join(DATA, "db_bact")
+    if not (os.path.exists(db1) and os.path.exists(db2)):
+        pytest.skip("hier fixture missing")
+    reads = os.path.join(DATA, "reads.fa")
+    out0, rep0, c0 = _run([db1, db2], reads)
+    budget = max(_tiny_budget(db1, frac=2), _tiny_budget(db2, frac=2))
+    out1, rep1, c1 = _run([db1, db2], reads, {"preload_size": budget})
+    assert c1._ooc is not None and _chunks_used(c1) >= 3
+    assert out0 == out1
+    assert rep0 == rep1
+    golden = os.path.join(DATA, "kraken_hier.out")
+    assert out1 == open(golden).read()
+
+
+def test_ooc_python_path_and_long_reads(tmp_path):
+    """The Python-record path (print_sequence) and the long-read chunker both
+    route through the chunk loop."""
+    reads = os.path.join(DATA, "reads.fa")
+    budget = _tiny_budget(DATA)
+    kw = {"print_sequence": True, "max_read_len": 1 << 15}
+    out0, rep0, _ = _run([DATA], reads, kw)
+    out1, rep1, c1 = _run([DATA], reads, {**kw, "preload_size": budget})
+    assert c1._ooc is not None
+    assert out0 == out1 and rep0 == rep1
+
+    # a read longer than max_read_len exercises _classify_long_read under ooc
+    src = open(reads).read().splitlines()
+    seqs = [l for l in src if not l.startswith(">")]
+    long_seq = "".join(seqs)[:3000]
+    lr = tmp_path / "long.fa"
+    lr.write_text(f">long1\n{long_seq}\n" + "\n".join(src[:8]) + "\n")
+    kw2 = {"max_read_len": 1024}
+    out2, rep2, _ = _run([DATA], str(lr), kw2)
+    out3, rep3, c3 = _run([DATA], str(lr), {**kw2, "preload_size": budget})
+    assert c3._ooc is not None
+    assert out2 == out3 and rep2 == rep3
+
+
+def test_ooc_group_flush_boundary():
+    """A one-byte group budget forces a flush per span; output unchanged."""
+    reads = os.path.join(DATA, "reads.fa")
+    budget = _tiny_budget(DATA)
+    out0, rep0, _ = _run([DATA], reads)
+    out1, rep1, c1 = _run(
+        [DATA], reads, {"preload_size": budget, "ooc_group_bytes": 1}
+    )
+    assert c1._ooc is not None
+    assert out0 == out1 and rep0 == rep1
+
+
+def test_ooc_mesh_mutually_exclusive():
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+
+    with pytest.raises(ValueError, match="mutually"):
+        Classifier(
+            [DATA],
+            ClassifyOptions(preload_size=1024, mesh_data=2, mesh_db=1),
+        )
+
+
+def test_ooc_cache_roundtrip(tmp_path):
+    """Chunk tables persist to <kdb>.htc and reload byte-identically."""
+    import shutil
+
+    db = tmp_path / "db"
+    shutil.copytree(DATA, db, ignore=shutil.ignore_patterns("db_*", "*.ht*", "taxonomy"))
+    from krakenuniq_tpu.db.chunked import load_chunked_db
+    from krakenuniq_tpu.taxonomy import Taxonomy
+
+    tax = Taxonomy.from_taxdb_file(str(db / "taxDB"))
+    budget = _tiny_budget(str(db))
+    c1 = load_chunked_db(str(db), budget, tax)
+    assert os.path.exists(db / "database.kdb.htc")
+    c2 = load_chunked_db(str(db), budget, tax)
+    assert c1.n_chunks == c2.n_chunks and c1.lb == c2.lb
+    for p1, p2 in zip(c1.chunk_planes, c2.chunk_planes):
+        for a, b in zip(p1, p2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
