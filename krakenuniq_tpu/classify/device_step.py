@@ -103,10 +103,21 @@ class StepConfig:
     # True: RLE rows carry DENSE taxon ids packed with their run length in a
     # single u32 (dense<<16 | ambig<<15 | len) and the n_kmers column is
     # dropped (derivable from the sequence length on host) -- 40B/read at R=8
-    # instead of 60B. Requires a taxonomy of <= 65536 nodes; the host maps
-    # dense ids back through taxid_table. The device->host link is the
-    # pipeline's bandwidth bottleneck, so fetched bytes are the cost model.
+    # instead of 60B. The 16-bit field requires ids < 65536: either the whole
+    # taxonomy fits (host maps through taxid_table) or local_dict remaps per
+    # span. The device->host link is the pipeline's bandwidth bottleneck, so
+    # fetched bytes are the cost model.
     dense_runs: bool = False
+    # True (with dense_runs): build a per-span taxon dictionary on device --
+    # sort-unique of every dense id the span touched (hits + calls) -- and
+    # emit LOCAL ids in the RLE rows and the hll_dense feed. A span touches
+    # far fewer distinct taxa than a real taxonomy holds (NCBI is ~2.4M
+    # nodes, taxdb.hpp:460-488), so the u16 fast paths stay applicable at
+    # any taxonomy size. The dictionary itself returns as out["lut"]
+    # (int32 [dict_capacity + 1], last element = #uniques; an overflowing
+    # span is re-dispatched on the wide layout by the host -- rare).
+    local_dict: bool = False
+    dict_capacity: int = 1 << 15  # must stay < 0xFFFF (the u16 sentinel)
     # restrict the returned dict to these keys (None = all). Every returned
     # array is a device buffer the dispatch must allocate and register
     # through the transport -- ~80ms/dispatch of overhead for the full
@@ -259,11 +270,46 @@ def classify_step_core(
         # wide layout maps run values back through taxid_table at [B, R]
         # granularity, never touching the full mapped plane
         use_dense_ids = not any_raw
+        pack_ids = taxon_dense.astype(jnp.uint32) if use_dense_ids else taxon
+        pack_call = (
+            call_dense.astype(jnp.uint32)
+            if (cfg.dense_runs and not cfg.quick)
+            else call
+        )
+        hll_ids16 = taxon_dense
+        if cfg.dense_runs and cfg.local_dict:
+            # per-span taxon dictionary: sorted unique dense ids over every
+            # id this span can emit (hit lanes, including the zeros of
+            # misses/pad lanes, plus the resolved calls). Grouping by local
+            # id equals grouping by dense id (the remap is injective on the
+            # span), so the RLE runs are unchanged -- only their value field
+            # shrinks to u16.
+            u_cap = cfg.dict_capacity
+            vals_all = jnp.concatenate([taxon_dense.reshape(-1), call_dense])
+            s = jax.lax.sort(vals_all)
+            is_first = jnp.concatenate(
+                [jnp.ones((1,), bool), s[1:] != s[:-1]]
+            )
+            ranks = jnp.cumsum(is_first.astype(jnp.int32))
+            n_u = ranks[-1]
+            pad = jnp.int32(2**30)  # > any dense id; keeps the lut sorted
+            pos = jnp.where(is_first, ranks - 1, jnp.int32(u_cap))
+            lut = (
+                jnp.full((u_cap,), pad, jnp.int32)
+                .at[pos]
+                .set(jnp.where(is_first, s, pad), mode="drop")
+            )
+            local_taxa = jnp.searchsorted(lut, taxon_dense).astype(jnp.int32)
+            pack_ids = local_taxa.astype(jnp.uint32)
+            if not cfg.quick:
+                pack_call = jnp.searchsorted(lut, call_dense).astype(jnp.uint32)
+            hll_ids16 = local_taxa
+            out["lut"] = jnp.concatenate([lut, n_u[None]])
         out["packed"] = _pack_runs(
-            taxon_dense.astype(jnp.uint32) if use_dense_ids else taxon,
+            pack_ids,
             kmer_ambig,
             valid,
-            call_dense.astype(jnp.uint32) if (cfg.dense_runs and not cfg.quick) else call,
+            pack_call,
             total_hits,
             n_kmers[:, 0],
             cfg.max_runs,
@@ -273,11 +319,12 @@ def classify_step_core(
         )
         # single-fetch accumulate feed for the host (exact-compat) counter
         if cfg.dense_runs:
-            # 6B/lane: u32 encoding + u16 dense taxon (0xFFFF = uncounted);
-            # dense_runs already implies the taxonomy fits 16 bits
+            # 6B/lane: u32 encoding + u16 taxon id (0xFFFF = uncounted);
+            # the id is the dense taxon when the taxonomy fits 16 bits, else
+            # the span-local dictionary id (host maps through out["lut"])
             out["hll_enc"] = enc
             out["hll_dense"] = jnp.where(
-                hll_lanes, taxon_dense.astype(jnp.uint16), jnp.uint16(0xFFFF)
+                hll_lanes, hll_ids16.astype(jnp.uint16), jnp.uint16(0xFFFF)
             )
         else:
             # 8B/lane: id<<32 | hll-encoding, all-ones sentinel elsewhere.

@@ -88,6 +88,10 @@ class ClassifyOptions:
     # on tail spans (measured best at 65536 with 32MB input chunks)
     device_batch_reads: int = 65536
     max_runs: int = 8  # device-side RLE run slots per read (even; overflow rows re-fetched)
+    # per-span taxon dictionary capacity (taxonomies > 65536 nodes); a span
+    # touching more distinct taxa than this is re-dispatched on the wide
+    # layout. 32768 is far above any observed span (reads share taxa).
+    dict_capacity: int = 1 << 15
     # multi-chip mesh: shard the database by minimizer range over mesh_db
     # devices and the read batch over mesh_data devices (mesh_data * mesh_db
     # <= len(jax.devices())). 1x1 = the single-chip path. Requires a single
@@ -300,13 +304,19 @@ class Classifier:
         )
         # compact RLE rows (dense taxon ids, 40B/read): the device->host link
         # is the pipeline bottleneck, so fetch bytes are the cost model; UID
-        # runs carry uids (not taxa) and stay on the wide layout
-        if (
-            self._cfg.max_runs > 0
-            and self.uid_map is None
-            and tax.size <= 0xFFFF  # dense ids AND the u16 sentinel must fit
-        ):
-            self._cfg = dataclasses.replace(self._cfg, dense_runs=True)
+        # runs carry uids (not taxa) and stay on the wide layout. Taxonomies
+        # past 65536 nodes (the real NCBI taxDB is ~2.4M) keep the compact
+        # layout through a per-span local taxon dictionary (device_step.py).
+        if self._cfg.max_runs > 0 and self.uid_map is None:
+            if tax.size <= 0xFFFF:  # dense ids AND the u16 sentinel fit as-is
+                self._cfg = dataclasses.replace(self._cfg, dense_runs=True)
+            elif self.mesh is None:  # per-data-shard dicts not wired for mesh
+                self._cfg = dataclasses.replace(
+                    self._cfg,
+                    dense_runs=True,
+                    local_dict=True,
+                    dict_capacity=self.opts.dict_capacity,
+                )
         # the native span path ships bit-packed codes/ambig (5x fewer bytes)
         # and materializes only the outputs its mode reads back (each dropped
         # output saves dispatch-time buffer registration and lets XLA DCE the
@@ -325,11 +335,29 @@ class Classifier:
                 span_outputs = ("packed", "taxa_dense", "ambig", "hll_enc", "hll_dense")
             else:
                 span_outputs = ("packed", "taxa_dense", "ambig", "hll_pairs")
+            if self._cfg.local_dict and self._cfg.dense_runs:
+                span_outputs = span_outputs + ("lut",)
         else:
             span_outputs = None
         self._cfg_packed = dataclasses.replace(
             self._cfg, packed_input=True, outputs=span_outputs
         )
+        # dictionary-overflow fallback program: the same span on the wide
+        # (global-id) layout; compiled only if a span ever touches more than
+        # dict_capacity distinct taxa
+        self._cfg_packed_wide = None
+        if self._cfg_packed.local_dict and span_outputs is not None:
+            wide_outputs = tuple(
+                k for k in span_outputs if k not in ("hll_enc", "hll_dense", "lut")
+            )
+            if "hll_enc" in span_outputs:
+                wide_outputs = wide_outputs + ("hll_pairs",)
+            self._cfg_packed_wide = dataclasses.replace(
+                self._cfg_packed,
+                dense_runs=False,
+                local_dict=False,
+                outputs=wide_outputs,
+            )
         self._sharded_fn = self._sharded_fn_packed = None
         if self.mesh is not None:
             from ..parallel import make_sharded_classify_fn
@@ -743,7 +771,27 @@ class Classifier:
             sys.stderr.write(
                 f"\n[span b={b} lb={lb}] encode {1e3*(t1-t0):.0f}ms dispatch {1e3*(t2-t1):.0f}ms"
             )
-        return (buf, offs_c, unit_bounds, fastq, out, seq_lens, n_span)
+
+        def redispatch(cfg2):
+            # dictionary-overflow fallback: rerun this span on the wide
+            # layout (mesh never uses the local dict, so no mesh branch)
+            return classify_step(
+                self._db_planes,
+                self._taxid_table,
+                self._tin,
+                self._tout,
+                self._parent,
+                self._root_dense,
+                codes,
+                ambig_arr,
+                lengths,
+                cfg2,
+            )
+
+        return (
+            buf, offs_c, unit_bounds, fastq, out, seq_lens, n_span,
+            self._cfg_packed, redispatch,
+        )
 
     def _slice_and_prefetch(self, out: dict, b: int, n_span: int) -> None:
         """Fetch only the rows that hold reads: tail spans land in a padded
@@ -833,6 +881,21 @@ class Classifier:
                 self._cfg_packed,
             )
         self._slice_and_prefetch(out, st["b"], st["n_span"])
+
+        def redispatch(cfg2):
+            return classify_step(
+                st["acc"],
+                self._taxid_table,
+                self._tin,
+                self._tout,
+                self._parent,
+                self._root_dense,
+                st["codes"],
+                st["ambig"],
+                st["lengths"],
+                cfg2,
+            )
+
         return (
             st["buf"],
             st["offs"],
@@ -841,16 +904,32 @@ class Classifier:
             out,
             st["seq_lens"],
             st["n_span"],
+            self._cfg_packed,
+            redispatch,
         )
 
     def _finish_native_span(self, st, kraken_fh, classified_fh, unclassified_fh):
         if st is None:
             return
-        buf, offs_c, unit_bounds, fastq, out, seq_lens, n_span = st
+        buf, offs_c, unit_bounds, fastq, out, seq_lens, n_span, cfg, redispatch = st
         opts = self.opts
 
-        r = self._cfg.max_runs
-        dense = self._cfg.dense_runs
+        # id_map: u16 ids in the compact rows / hll_dense feed -> taxids.
+        # With a span-local dictionary, fetch it and map through it; a
+        # dictionary overflow (span touched > dict_capacity taxa) re-runs
+        # the span on the wide layout (rare).
+        id_map = self._taxids_host
+        if cfg.dense_runs and cfg.local_dict:
+            lut = np.asarray(out["lut"])
+            n_u = int(lut[-1])
+            if n_u > cfg.dict_capacity:
+                cfg = self._cfg_packed_wide
+                out = dict(redispatch(cfg))
+            else:
+                id_map = self._taxids_host[lut[:n_u].astype(np.int64)]
+
+        r = cfg.max_runs
+        dense = cfg.dense_runs
         compact = dense and not opts.quick
         # compact dense row: runs(R) | call_dense<<16|n_runs;  quick dense
         # row: runs(R) | call | hits<<16|n_runs;  wide row: run_vals(R) |
@@ -862,7 +941,7 @@ class Classifier:
             sys.stderr.write(f" fetch {1e3*(time.time()-t0):.0f}ms")
         if compact:
             meta_w = packed[:, r]
-            calls = self._taxids_host[(meta_w >> np.uint32(16)).astype(np.int64)]
+            calls = id_map[(meta_w >> np.uint32(16)).astype(np.int64)]
             n_runs = meta_w & np.uint32(0xFFFF)
             n_kmers = np.maximum(seq_lens - (self.k - 1), 0).astype(np.int32)
         elif dense:
@@ -896,7 +975,7 @@ class Classifier:
             he = np.asarray(out["hll_enc"])[:n_span]
             for s_, e_ in zip(unit_bounds[:-1], unit_bounds[1:]):
                 m = hd[s_:e_] != np.uint16(0xFFFF)
-                counted_taxa = self._taxids_host[hd[s_:e_][m].astype(np.int64)]
+                counted_taxa = id_map[hd[s_:e_][m].astype(np.int64)]
                 self.counter.process_unit(counted_taxa, he[s_:e_][m], calls[s_:e_])
         else:
             # per-unit accumulation (preserves work-unit HLL semantics); the
@@ -962,7 +1041,7 @@ class Classifier:
                 ov_lines,
                 bool(dense),
                 self.k,
-                self._taxids_host if dense else None,
+                id_map if dense else None,
             )
             if hasattr(kraken_fh, "buffer"):
                 kraken_fh.buffer.write(lines)

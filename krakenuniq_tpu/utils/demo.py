@@ -21,7 +21,14 @@ from ..utils import bits
 _BASES_B = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
-def make_demo_taxonomy(n_species: int) -> tuple[Taxonomy, list[int]]:
+def make_demo_taxonomy(
+    n_species: int, species_base: int = 1000, pad_nodes: int = 0
+) -> tuple[Taxonomy, list[int]]:
+    """pad_nodes appends extra leaf species (taxids 1_000_000+i) that carry
+    no genomes -- inflating the taxonomy to NCBI-like node counts (~2.4M,
+    taxdb.hpp:460-488) without inflating the database. Pick species_base
+    above 1_000_000 + pad_nodes to give the real species the LARGEST dense
+    ids (exercises id-width edges)."""
     taxids = [1, 2]
     parents = [1, 1]
     names = ["root", "Bacteria"]
@@ -34,8 +41,13 @@ def make_demo_taxonomy(n_species: int) -> tuple[Taxonomy, list[int]]:
         parents.append(2)
         names.append(f"Genus{g}")
         ranks.append("genus")
+    for p in range(pad_nodes):
+        taxids.append(1_000_000 + p)
+        parents.append(2)
+        names.append(f"Pad {p}")
+        ranks.append("species")
     for s in range(n_species):
-        sid = 1000 + s
+        sid = species_base + s
         taxids.append(sid)
         parents.append(100 + (s % n_genera))
         names.append(f"Species {s}")
@@ -62,10 +74,12 @@ def make_demo_db(
     k: int = 31,
     nt: int = 9,
     seed: int = 7,
+    species_base: int = 1000,
+    pad_nodes: int = 0,
 ):
     """Returns (keys, vals, offsets, taxonomy, genomes_by_taxid) with keys
     sorted in reference (minimizer-bin, key) order."""
-    tax, species = make_demo_taxonomy(n_species)
+    tax, species = make_demo_taxonomy(n_species, species_base, pad_nodes)
     rng = np.random.default_rng(seed)
     host_codes = rng.integers(0, 4, size=(n_species, genome_len), dtype=np.uint8)
 
