@@ -166,6 +166,16 @@ def main():
 
     classify = os.path.join(BIN, "classify")
     base = [classify, "-d", "database.kdb", "-i", "database.idx", "-a", "taxDB", "-t", "1"]
+    # the reference classifier APPENDS report files (the Perl wrapper writes
+    # the provenance header first); truncate so re-running over an existing
+    # fixture tree stays byte-identical
+    for rep in ("report.tsv", "report_fq.tsv", "report_p14.tsv"):
+        open(os.path.join(DATA, rep), "w").close()
+    # .counts caches would short-circuit count_taxons regeneration
+    for stale in ("database.kdb.counts",):
+        p = os.path.join(DATA, stale)
+        if os.path.exists(p):
+            os.remove(p)
     # default run (fasta)
     run(base + ["-p", str(HLL_P), "-o", "kraken.out", "-r", "report.tsv",
                 "-C", "classified.fa", "-U", "unclassified.fa", "reads.fa"])

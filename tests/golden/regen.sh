@@ -17,5 +17,13 @@ if [ ! -x "$REPO/.golden-build/src/classify" ]; then
   make -j"$(nproc)" classify db_sort set_lcas build_taxdb count_unique \
       db_shrink dump_taxdb query_taxdb grade_classification
 fi
+if [ ! -e "$REPO/.golden-build/scripts/krakenlib.pm" ]; then
+  # the reference Perl scripts locate krakenlib.pm (and check for classify)
+  # next to themselves when the KRAKEN_DIR template is unsubstituted
+  cp -r "$REF/scripts" "$REPO/.golden-build/scripts"
+fi
+ln -sf ../src/classify "$REPO/.golden-build/scripts/classify"
+
 cd "$REPO"
 PYTHONPATH="$REPO" python tests/golden/gen_fixture.py
+PYTHONPATH="$REPO" python tests/golden/gen_fixture_extra.py
