@@ -125,6 +125,10 @@ def _bucket(n: int, lo: int, step: int = 2) -> int:
     return b
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def _bucket_len(n: int, lo: int) -> int:
     """Read-length padding bucket: multiples of 32 up to 512 (the W^2 tree
     resolution makes width padding quadratic), then powers of two."""
@@ -181,57 +185,66 @@ class Classifier:
             self.nt = self._ooc[0].nt
             self.dbs = []
         elif n_md * n_mdb > 1:
-            if uid_database:
-                raise ValueError("mesh mode is incompatible with UID mapping")
-            if self.opts.device_counters:
-                raise ValueError(
-                    "mesh mode uses host accumulation; drop --device-counters"
-                )
-            if len(self.db_dirs) > 1:
-                raise ValueError("mesh mode supports a single database")
-            if n_md & (n_md - 1):
-                raise ValueError("mesh_data must be a power of two (batch buckets)")
             import jax as _jax
 
             from ..db.ht_cache import load_ht_cache, save_ht_cache
+            from ..formats import read_index
             from ..parallel import make_mesh
             from ..parallel.partition import ShardedHashPlanes, shard_hash_tables
 
-            kdb_path = os.path.join(self.db_dirs[0], "database.kdb")
-            taxdb_path = os.path.join(self.db_dirs[0], "taxDB")
-            hdr, h_keys, h_vals = read_kdb(kdb_path)
-            from ..formats import read_index
-
-            _idx_type, nt, h_offsets = read_index(
-                os.path.join(self.db_dirs[0], "database.idx")
-            )
-            h_vd = self.taxonomy.dense_index(h_vals)
-            # shard-stacked tables get their own cache file per shard count
-            sht_path = f"{kdb_path}.ht{n_mdb}"
-            cached = load_ht_cache(sht_path, kdb_path, taxdb_path, False)
-            if cached is not None and cached[2] and "bounds" in cached[2]:
-                (stack,), lb, extra = cached
-                self._sharded_planes = ShardedHashPlanes(
-                    fused=_jax.device_put(stack),
-                    lb=lb,
-                    bounds=[tuple(b) for b in extra["bounds"]],
+            self._sharded_planes = []
+            self._mesh_vals_dense: list = []  # per-DB host dense values (counts files)
+            ks, nts, max_bins = set(), set(), []
+            for d in self.db_dirs:
+                kdb_name = "uid_database.kdb" if uid_database else "database.kdb"
+                kdb_path = os.path.join(d, kdb_name)
+                taxdb_path = os.path.join(d, "taxDB")
+                hdr, h_keys, h_vals = read_kdb(kdb_path)
+                _idx_type, nt, h_offsets = read_index(os.path.join(d, "database.idx"))
+                h_vd = (
+                    np.zeros(len(h_vals), np.int32)
+                    if uid_database
+                    else self.taxonomy.dense_index(h_vals)
                 )
-            else:
-                sink: list = []
-                self._sharded_planes = shard_hash_tables(
-                    h_keys, h_vals, h_vd, np.asarray(h_offsets), n_mdb, hash_sink=sink
+                self._mesh_vals_dense.append(None if uid_database else h_vd)
+                ks.add(hdr.k)
+                nts.add(nt)
+                max_bins.append(
+                    int(np.diff(np.asarray(h_offsets, dtype=np.int64)).max())
                 )
-                host_stack, lb, bounds = sink[0]
-                save_ht_cache(
-                    sht_path, (host_stack,), lb, kdb_path, taxdb_path, False,
-                    extra={"bounds": [list(b) for b in bounds]},
-                )
-            self._host_vals_dense = h_vd
+                # shard-stacked tables get their own cache file per shard count
+                sht_path = f"{kdb_path}.ht{n_mdb}"
+                cached = load_ht_cache(sht_path, kdb_path, taxdb_path, uid_database)
+                if cached is not None and cached[2] and "bounds" in cached[2]:
+                    planes_host, lb, extra = cached
+                    sp = ShardedHashPlanes(
+                        planes=tuple(_jax.device_put(p) for p in planes_host),
+                        lb=lb,
+                        bounds=[tuple(b) for b in extra["bounds"]],
+                        store_raw=uid_database,
+                    )
+                else:
+                    sink: list = []
+                    sp = shard_hash_tables(
+                        h_keys, h_vals, h_vd, np.asarray(h_offsets), n_mdb,
+                        hash_sink=sink, store_raw=uid_database,
+                    )
+                    host_stacks, lb, bounds = sink[0]
+                    save_ht_cache(
+                        sht_path, host_stacks, lb, kdb_path, taxdb_path, uid_database,
+                        extra={"bounds": [list(b) for b in bounds]},
+                    )
+                self._sharded_planes.append(sp)
+            if len(ks) != 1:
+                raise ValueError(f"Different k-mer sizes in databases: {sorted(ks)}")
+            if len(nts) != 1:
+                raise ValueError(f"Different minimizer sizes in databases: {sorted(nts)}")
             self.mesh = make_mesh(n_md, n_mdb)
             self.dbs = []
-            self.k, self.nt = hdr.k, nt
-            max_bin = int(np.diff(np.asarray(h_offsets, dtype=np.int64)).max())
-            self._mesh_n_iter = max(1, int(np.ceil(np.log2(max_bin + 1))) + 1)
+            self.k, self.nt = ks.pop(), nts.pop()
+            self._mesh_n_iter = max(
+                1, int(np.ceil(np.log2(max(max_bins) + 1))) + 1
+            )
         else:
             self.dbs: list[DeviceDB] = []
             for d in self.db_dirs:
@@ -331,6 +344,10 @@ class Classifier:
                 span_outputs = ("packed", "taxa", "ambig", "hll_lanes", "canon")
             elif self.opts.device_counters:
                 span_outputs = ("packed", "taxa_dense", "ambig")
+                if self.mesh is not None:
+                    # mesh runs the counter update as a separate program on
+                    # the sharded outputs (no fused classify_and_count)
+                    span_outputs = span_outputs + ("enc", "hll_lanes", "call_dense")
             elif self._cfg.dense_runs:
                 span_outputs = ("packed", "taxa_dense", "ambig", "hll_enc", "hll_dense")
             else:
@@ -359,25 +376,26 @@ class Classifier:
                 outputs=wide_outputs,
             )
         self._sharded_fn = self._sharded_fn_packed = None
+        self._sharded_fn_long = None  # long-read (lookup-only) program, lazy
         if self.mesh is not None:
             from ..parallel import make_sharded_classify_fn
 
-            common = (
+            self._mesh_common = (
                 tax.taxids.astype(np.uint32),
                 tax.tin,
                 tax.tout,
                 tax.parent,
                 self._root_dense,
             )
-            self._sharded_fn_packed, dev_planes = make_sharded_classify_fn(
-                self.mesh, self._sharded_planes, *common, self._cfg_packed
+            self._sharded_fn_packed, self._mesh_dev_planes = make_sharded_classify_fn(
+                self.mesh, self._sharded_planes, *self._mesh_common, self._cfg_packed
             )
             self._sharded_fn, _ = make_sharded_classify_fn(
                 self.mesh,
                 self._sharded_planes,
-                *common,
+                *self._mesh_common,
                 self._cfg,
-                dev_planes=dev_planes,
+                dev_planes=self._mesh_dev_planes,
             )
         self.counter = TaxonCounter(effective_p, exact=self.opts.exact)
         self.dev_counters = None
@@ -390,6 +408,12 @@ class Classifier:
         self.total_sequences = 0
         self.total_bases = 0
         self.total_classified = 0
+
+    def _round_mesh(self, b: int) -> int:
+        """Round a batch height up so it splits evenly over mesh_data shards
+        (any count, not just powers of two)."""
+        n_md = self.opts.mesh_data
+        return b if n_md <= 1 else _round_up(b, n_md)
 
     # ------------------------------------------------------------ out-of-core
 
@@ -719,8 +743,9 @@ class Classifier:
             )
         lb = _bucket_len(max(max_len, self.k), max(128, self.k))
         # batch height buckets: coarse (x8) to keep the compile-variant count
-        # at <= 3 per read-length bucket (see _bucket)
-        b = _bucket(n_span, 1024, step=8)
+        # at <= 3 per read-length bucket (see _bucket); rounded so the batch
+        # splits evenly over mesh_data shards
+        b = self._round_mesh(_bucket(n_span, 1024, step=8))
         offs_c = np.ascontiguousarray(offs)
         t0 = time.time() if _PROFILE else 0
         if _PROFILE:
@@ -729,7 +754,17 @@ class Classifier:
             sys.stderr.write(f"\n[gap {1e3*gap:.0f}ms]")
         codes, ambig_arr, lengths = _native.encode_unit_packed(buf, offs_c, lb, b)
         t1 = time.time() if _PROFILE else 0
-        if self.dev_counters is not None:
+        if self.mesh is not None:
+            out = dict(self._sharded_fn_packed(codes, ambig_arr, lengths))
+            if self.dev_counters is not None:
+                # separate counter-update program over the sharded outputs
+                row_valid = np.zeros(b, dtype=bool)
+                row_valid[:n_span] = True
+                self.dev_counters.update(
+                    out["taxa_dense"], out["enc"], out["hll_lanes"],
+                    out["call_dense"], row_valid,
+                )
+        elif self.dev_counters is not None:
             # accumulation fused into the classify program: one dispatch,
             # scatters overlapped with the lookup gathers
             from .device_step import classify_and_count
@@ -750,8 +785,6 @@ class Classifier:
                 self.dev_counters.p,
             )
             self.dev_counters.set_state(state)
-        elif self.mesh is not None:
-            out = dict(self._sharded_fn_packed(codes, ambig_arr, lengths))
         else:
             out = classify_step(
                 self._db_planes,
@@ -1117,22 +1150,29 @@ class Classifier:
 
         from ..kmer import encode_batch
 
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "mesh mode does not support reads longer than max_read_len yet"
-            )
-
         k = self.k
         opts = self.opts
         payload = opts.max_read_len - (k - 1)
         starts = list(range(0, max(1, len(seq) - k + 1), payload))
         chunks = [seq[st : st + opts.max_read_len] for st in starts]
         lb = _bucket_len(max(len(c) for c in chunks), max(128, k))
-        b = _bucket(len(chunks), 8)
+        b = self._round_mesh(_bucket(len(chunks), 8))
         enc_b = encode_batch(chunks, lb=lb, batch=b)
         cfg2 = _dc.replace(self._cfg, resolve=False, max_runs=0, quick=False)
         if self._ooc is not None:
             out = self._ooc_device_step(enc_b.codes, enc_b.ambig, enc_b.lengths, cfg2)
+        elif self.mesh is not None:
+            if self._sharded_fn_long is None:
+                from ..parallel import make_sharded_classify_fn
+
+                self._sharded_fn_long, _ = make_sharded_classify_fn(
+                    self.mesh,
+                    self._sharded_planes,
+                    *self._mesh_common,
+                    cfg2,
+                    dev_planes=self._mesh_dev_planes,
+                )
+            out = dict(self._sharded_fn_long(enc_b.codes, enc_b.ambig, enc_b.lengths))
         else:
             out = classify_step(
                 self._db_planes,
@@ -1197,7 +1237,7 @@ class Classifier:
         short_seqs = ["" if i in long_idx else d.seq for i, d in enumerate(unit)]
         max_len = max((len(s) for s in short_seqs), default=1)
         lb = _bucket_len(max(max_len, self.k), max(128, self.k))
-        b = _bucket(len(unit), opts.min_batch_reads)
+        b = self._round_mesh(_bucket(len(unit), opts.min_batch_reads))
         enc = encode_batch(short_seqs, lb=lb, batch=b)
 
         out = self._device_step(enc.codes, enc.ambig, enc.lengths)
@@ -1327,7 +1367,7 @@ class Classifier:
             path = os.path.join(d, "database.kdb") + ".counts"  # "<kdb path>.counts"
             if not (os.path.exists(path) and os.path.getsize(path) > 0):
                 if self.mesh is not None:
-                    vd = self._host_vals_dense
+                    vd = self._mesh_vals_dense[i]  # None for UID tables
                 elif self._ooc is not None:
                     vd = self._ooc[i].vals_dense  # None for UID tables
                 else:

@@ -8,14 +8,18 @@ Layout: a 2D `Mesh` with axes ("data", "db").
     per-k-mer results are combined with a psum over "db" (exactly-one-shard
     invariant), after which resolution/HLL proceed replicated.
 
+Hierarchical multi-database lookups shard EACH database along "db" and keep
+the reference's first-DB-wins rule (classify.cpp:927-936): the psum-merged
+word of database i only fills lanes earlier databases missed (the loop in
+classify_step_core). UID (raw-valued) tables ride the same path with their
+two-level plane stacks.
+
 Collectives ride ICI; there is no host round-trip between lookup and
 resolve. This is the spatial generalization of the reference's serial
 `--preload-size` chunk loop (classify.cpp:566-791).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import numpy as np
@@ -35,7 +39,7 @@ def make_mesh(n_data: int, n_db: int, devices=None) -> Mesh:
 
 def make_sharded_classify_fn(
     mesh: Mesh,
-    planes: ShardedDBPlanes,
+    planes,  # ShardedHashPlanes | ShardedDBPlanes | list of them (per database)
     taxid_table: np.ndarray,
     tin: np.ndarray,
     tout: np.ndarray,
@@ -45,55 +49,68 @@ def make_sharded_classify_fn(
     dev_planes: tuple | None = None,
 ):
     """Returns a jitted fn(codes, ambig, lengths) -> outputs dict, running the
-    classify step over the mesh with the DB minimizer-sharded along "db"."""
+    classify step over the mesh with each database minimizer-sharded along
+    "db". `planes` may be a single sharded-plane set or a list (hierarchical
+    multi-DB, probed in order)."""
+    planes_list = list(planes) if isinstance(planes, (list, tuple)) else [planes]
     n_db = mesh.shape["db"]
-    assert planes.n_shards == n_db, (planes.n_shards, n_db)
-    hash_mode = isinstance(planes, ShardedHashPlanes)
+    hash_mode = isinstance(planes_list[0], ShardedHashPlanes)
+    for p in planes_list:
+        assert p.n_shards == n_db, (p.n_shards, n_db)
     cfg = StepConfig(
         **{
             **cfg.__dict__,
             "db_axis": "db",
             "lookup_mode": "hash" if hash_mode else "bsearch",
-            "hash_lbs": (planes.lb,) if hash_mode else (),
+            "hash_lbs": tuple(p.lb for p in planes_list) if hash_mode else (),
+            "raw_dbs": (
+                tuple(p.store_raw for p in planes_list) if hash_mode else cfg.raw_dbs
+            ),
         }
     )
-
-    db_sharding = NamedSharding(mesh, P("db", None))
-    db_sharding3 = NamedSharding(mesh, P("db", None, None))
-    scalar_sharding = NamedSharding(mesh, P("db"))
     repl = NamedSharding(mesh, P())
 
-    if dev_planes is None:
+    # flatten every database's plane leaves (shard-stacked along axis 0) into
+    # one positional list; `arities` regroups them inside the shard_map body
+    flat_host: list = []
+    flat_specs: list = []
+    arities: list[int] = []
+    for p in planes_list:
         if hash_mode:
-            dev_planes = (jax.device_put(planes.fused, db_sharding3),)
+            leaves = tuple(p.planes)
+            specs = tuple(P("db", *([None] * (a.ndim - 1))) for a in leaves)
         else:
-            dev_planes = (
-                jax.device_put(planes.keys, db_sharding),
-                jax.device_put(planes.vals, db_sharding),
-                jax.device_put(planes.vals_dense, db_sharding),
-                jax.device_put(planes.offsets, db_sharding),
-                jax.device_put(planes.bin_start, scalar_sharding),
+            leaves = (p.keys, p.vals, p.vals_dense, p.offsets, p.bin_start)
+            specs = (
+                P("db", None), P("db", None), P("db", None), P("db", None), P("db"),
             )
+        arities.append(len(leaves))
+        flat_host.extend(leaves)
+        flat_specs.extend(specs)
+    n_flat = len(flat_host)
+    if dev_planes is None:
+        dev_planes = tuple(
+            jax.device_put(x, NamedSharding(mesh, s))
+            for x, s in zip(flat_host, flat_specs)
+        )
     tax_args = tuple(
         jax.device_put(np.asarray(x), repl) for x in (taxid_table, tin, tout, parent)
     )
     root_dense = jax.device_put(np.int32(root_dense), repl)
 
-    if hash_mode:
-
-        def core(fused, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
-            db_planes = ((fused[0],),)
-            return classify_step_core(
-                db_planes, taxid_table, tin, tout, parent, root, codes, ambig, lengths, cfg
-            )
-
-    else:
-
-        def core(keys, vals, vals_dense, offsets, bin_start, taxid_table, tin, tout, parent, root, codes, ambig, lengths):
-            db_planes = ((keys[0], vals[0], vals_dense[0], offsets[0], bin_start[0]),)
-            return classify_step_core(
-                db_planes, taxid_table, tin, tout, parent, root, codes, ambig, lengths, cfg
-            )
+    def core(*args):
+        flat = args[:n_flat]
+        taxid_table, tin, tout, parent, root, codes, ambig, lengths = args[n_flat:]
+        db_planes = []
+        i = 0
+        for a in arities:
+            # drop the leading (length-1) shard-block axis of every leaf
+            db_planes.append(tuple(x[0] for x in flat[i : i + a]))
+            i += a
+        return classify_step_core(
+            tuple(db_planes), taxid_table, tin, tout, parent, root,
+            codes, ambig, lengths, cfg,
+        )
 
     out_specs = {
         "taxa": P("data", None),
@@ -121,20 +138,10 @@ def make_sharded_classify_fn(
     if cfg.outputs is not None:
         out_specs = {k: out_specs[k] for k in cfg.outputs}
 
-    if hash_mode:
-        plane_specs = (P("db", None, None),)
-    else:
-        plane_specs = (
-            P("db", None),  # keys
-            P("db", None),  # vals
-            P("db", None),  # vals_dense
-            P("db", None),  # offsets
-            P("db"),  # bin_start
-        )
     shard_fn = jax.shard_map(
         core,
         mesh=mesh,
-        in_specs=plane_specs
+        in_specs=tuple(flat_specs)
         + (
             P(),  # taxid_table
             P(),  # tin
@@ -150,8 +157,6 @@ def make_sharded_classify_fn(
     )
 
     def fn(codes, ambig, lengths):
-        return shard_fn(
-            *dev_planes, *tax_args, root_dense, codes, ambig, lengths
-        )
+        return shard_fn(*dev_planes, *tax_args, root_dense, codes, ambig, lengths)
 
     return jax.jit(fn), dev_planes

@@ -87,15 +87,24 @@ def shard_db_planes(
 
 @dataclasses.dataclass
 class ShardedHashPlanes:
-    """Stacked per-shard fused hash tables (db/hash_table.py layout)."""
+    """Stacked per-shard hash tables (db/hash_table.py layouts).
 
-    fused: object  # uint32 [S, n_buckets, 4] (device array)
+    planes holds the shard-stacked device arrays: (fused[S, nb, 4],) for
+    dense-valued tables, (ptags[S, nb, 2], confirm[S, nb*2, 2]) for raw
+    (UID) tables."""
+
+    planes: tuple
     lb: int
     bounds: list  # minimizer-bin ranges per shard (for bookkeeping)
+    store_raw: bool = False
+
+    @property
+    def fused(self):  # backwards-compatible accessor for dense stacks
+        return self.planes[0]
 
     @property
     def n_shards(self) -> int:
-        return self.fused.shape[0]
+        return self.planes[0].shape[0]
 
 
 def shard_hash_tables(
@@ -104,7 +113,8 @@ def shard_hash_tables(
     vals_dense: np.ndarray,
     offsets: np.ndarray,
     n_shards: int,
-    hash_sink: list | None = None,  # appended with (host_stack, lb, bounds)
+    hash_sink: list | None = None,  # appended with (host_planes, lb, bounds)
+    store_raw: bool = False,
 ) -> ShardedHashPlanes:
     """Partition keys by minimizer range (same invariant as the bsearch
     shards) and build one hash table per shard, padded to a common size.
@@ -114,8 +124,9 @@ def shard_hash_tables(
     practice) avoids rebuild passes; a shard whose placement stalls at the
     common lb (adversarially skewed key sets) restarts the whole stack one
     bit larger so the SPMD layout stays uniform. The stack is assembled on
-    HOST and device_put once; `hash_sink` receives the host stack for cache
-    writers."""
+    HOST and device_put once; `hash_sink` receives the host planes for
+    cache writers. store_raw stacks the two-level (ptags, confirm) layout
+    used by UID tables."""
     import jax
 
     from ..db.hash_table import HashBuildError, build_hash_table, min_lb_for
@@ -123,30 +134,46 @@ def shard_hash_tables(
     bounds = partition_bins_equal_keys(offsets, n_shards)
     offsets = np.asarray(offsets, dtype=np.int64)
     key_slices = [(int(offsets[lo]), int(offsets[hi])) for lo, hi in bounds]
-    vmax = int(vals_dense.max()) if len(vals_dense) else 0
-    lb = max(min_lb_for(khi - klo, vmax) for klo, khi in key_slices)
+    if store_raw:
+        from ..db.hash_table import BUCKET_SLOTS
+
+        lb = max(
+            max(4, int(np.ceil(np.log2(max(khi - klo, 2) / (BUCKET_SLOTS * 0.6)))))
+            for klo, khi in key_slices
+        )
+    else:
+        vmax = int(vals_dense.max()) if len(vals_dense) else 0
+        lb = max(min_lb_for(khi - klo, vmax) for klo, khi in key_slices)
     while True:
         if lb > 30:
             raise HashBuildError(
                 f"sharded hash stack does not fit 2^30 buckets/shard "
                 f"({n_shards} shards)"
             )
-        host_stack = np.zeros((n_shards, 1 << lb, 4), np.uint32)
+        if store_raw:
+            stacks = (
+                np.zeros((n_shards, 1 << lb, 2), np.uint32),
+                np.zeros((n_shards, (1 << lb) * 2, 2), np.uint32),
+            )
+        else:
+            stacks = (np.zeros((n_shards, 1 << lb, 4), np.uint32),)
         try:
             for i, (klo, khi) in enumerate(key_slices):
                 _, _, host = build_hash_table(
                     keys[klo:khi], vals[klo:khi], vals_dense[klo:khi], force_lb=lb,
-                    keep_host=True, to_device=False,
+                    store_raw=store_raw, keep_host=True, to_device=False,
                 )
-                host_stack[i] = host[0]
+                for stack, plane in zip(stacks, host):
+                    stack[i] = plane
         except HashBuildError:
             lb += 1
             continue
         break
     if hash_sink is not None:
-        hash_sink.append((host_stack, lb, bounds))
+        hash_sink.append((stacks, lb, bounds))
     return ShardedHashPlanes(
-        fused=jax.device_put(host_stack),
+        planes=tuple(jax.device_put(s) for s in stacks),
         lb=lb,
         bounds=bounds,
+        store_raw=store_raw,
     )

@@ -140,3 +140,72 @@ def test_mesh_pipeline_matches_single_chip(n_data, n_db, tmp_path):
     assert body[0] == body[1]
     # and both equal the golden produced by the reference binaries
     assert outs[0] == open(os.path.join(DATA, "kraken.out")).read()
+
+
+@pytest.mark.parametrize(
+    "mode,n_data,n_db",
+    [
+        ("uid", 1, 4),
+        ("hier", 2, 2),
+        ("device_counters", 2, 4),
+        ("nonpow2", 3, 2),
+        ("long_reads", 2, 2),
+        ("quick", 3, 1),
+    ],
+)
+def test_mesh_feature_matrix(mode, n_data, n_db, tmp_path):
+    """The full mesh feature matrix: UID tables, hierarchical multi-DB,
+    device counters, non-power-of-two data shards, and long reads all
+    produce byte-identical output to the single-chip run (the spatial form
+    of the reference's chunked-vs-preload equality, paper.md:112)."""
+    import io
+    import os
+
+    DATA = os.path.join(os.path.dirname(__file__), "golden", "data")
+    if not os.path.exists(os.path.join(DATA, "kraken.out")):
+        pytest.skip("golden fixture missing")
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+
+    reads = os.path.join(DATA, "reads.fa")
+    dbs = [DATA]
+    kw = {}
+    uid = False
+    golden = None
+    if mode == "uid":
+        uid = True
+        golden = "kraken_uid.out"
+    elif mode == "hier":
+        dbs = [os.path.join(DATA, "db_bact"), os.path.join(DATA, "db_viral")]
+        golden = "kraken_hier.out"
+    elif mode == "device_counters":
+        kw = {"device_counters": True}
+    elif mode == "quick":
+        kw = {"quick": True, "min_hits": 2}
+        golden = "kraken_quick.out"
+    elif mode == "long_reads":
+        # craft an input with one read past max_read_len
+        src = open(reads).read().splitlines()
+        seqs = [l for l in src if not l.startswith(">")]
+        lr = tmp_path / "long.fa"
+        lr.write_text(f">long1\n{''.join(seqs)[:3000]}\n" + "\n".join(src[:12]) + "\n")
+        reads = str(lr)
+        kw = {"max_read_len": 1024}
+    else:
+        golden = "kraken.out"
+
+    outs, reps = [], []
+    for md, mdb in ((1, 1), (n_data, n_db)):
+        c = Classifier(
+            dbs,
+            ClassifyOptions(print_progress=False, mesh_data=md, mesh_db=mdb, **kw),
+            uid_database=uid,
+        )
+        out, rep = io.StringIO(), io.StringIO()
+        c.run([reads], kraken_fh=out)
+        c.write_report(rep)
+        outs.append(out.getvalue())
+        reps.append(rep.getvalue())
+    assert outs[0] == outs[1]
+    assert reps[0] == reps[1]
+    if golden:
+        assert outs[1] == open(os.path.join(DATA, golden)).read()
