@@ -5,12 +5,21 @@ k-mer counters plus dense HLL registers, updated in-place every batch with
 scatter-adds/maxes; the host fetches the state ONCE at the end. This removes
 the per-k-mer device->host traffic of the exact-compat mode.
 
+Register pooling: HLL registers only ever accumulate for taxa that occur as
+DATABASE VALUES (counted k-mers carry the DB's LCA taxon, classify.cpp:939)
+-- a set the host knows exactly at load time. The register plane is
+therefore [pool_size, m] over the sorted distinct dense values (plus 0 for
+misses), NOT [taxonomy_size, m]: a 2.4M-node NCBI taxonomy costs nothing
+beyond its actual value set. Read/k-mer counters stay full-width [T]
+(calls can land on any ancestor via resolve_tree). The dense->pool remap
+rides a [T, 2] row-gather (the fast gather path; a flat element-gather is
+~10x slower per the layout notes in db/hash_table.py).
+
 Trade-off (documented): unique-k-mer estimates come from dense registers for
 every taxon, whereas the reference keeps low-cardinality taxa in sparse mode
 (higher effective precision) -- estimates are HLL-quality but not
 bit-identical to the reference for taxa under ~1000 unique k-mers per the
-sparse threshold. Read/k-mer counts are exact. Current limit: the dense
-taxonomy must fit the register plane (taxonomy size <= max_taxa slots).
+sparse threshold. Read/k-mer counts are exact.
 """
 
 from __future__ import annotations
@@ -25,9 +34,10 @@ from ..hll import HLL, ReadCounts
 
 
 def update_core(
-    reg: jax.Array,  # uint8 [T, m]
-    kmer_counts: jax.Array,  # int64 [T]
-    read_counts: jax.Array,  # int64 [T]
+    reg: jax.Array,  # uint8 [P, m] register pool (donated)
+    kmer_counts: jax.Array,  # int64 [T] (donated)
+    read_counts: jax.Array,  # int64 [T] (donated)
+    pool_lut: jax.Array,  # int32 [T, 2]: dense taxon -> pool row (both cols)
     taxa_dense: jax.Array,  # int32 [B, W]
     enc: jax.Array,  # uint32 [B, W]
     hll_lanes: jax.Array,  # bool [B, W]
@@ -38,9 +48,9 @@ def update_core(
     """Pure accumulation body; jitted standalone below and fused into the
     classify step by the pipeline (one dispatch, overlapped with the lookup
     gathers)."""
-    t = reg.shape[0]
-    m = reg.shape[1]
-    tm = t * m
+    t = kmer_counts.shape[0]
+    pool, m = reg.shape
+    pm = pool * m
     taxa_flat = taxa_dense.reshape(-1)
     enc_flat = enc.reshape(-1)
     lanes = hll_lanes.reshape(-1)
@@ -48,6 +58,9 @@ def update_core(
     safe_taxa = jnp.where(lanes, taxa_flat, 0)
     read_counts = read_counts + jnp.bincount(
         jnp.where(row_valid, call_dense, t), length=t + 1
+    )[:t].astype(jnp.int64)
+    kmer_counts = kmer_counts + jnp.bincount(
+        jnp.where(lanes, taxa_flat, t), length=t + 1
     )[:t].astype(jnp.int64)
 
     # dense register update: idx = top p bits of the encoding, rank decoded
@@ -64,35 +77,29 @@ def update_core(
     plain_rank = (clz + jnp.uint32(1)).astype(jnp.uint8)
     rank = jnp.where(flagged, flag_rank, plain_rank)
 
-    if tm <= (1 << 22):
+    # dense taxon -> pool row (one fast row-gather; col 0 == col 1)
+    prow = jnp.take(pool_lut, safe_taxa, axis=0)[:, 0]
+
+    if pm <= (1 << 22):
         # sort-based segment max: pack (slot, rank) into one u32 (rank < 64
         # always: <= (64 - pPrime + 1) + (25 - p) = 53), sort, then read each
         # slot's max rank with a co-sorted searchsorted over the slot grid --
-        # 6x faster than a scatter-max over the lanes (17ms vs 103ms for 8.5M
-        # lanes on v5e) and it yields the per-taxon k-mer counts for free as
-        # differences of segment boundaries
-        slot = jnp.where(lanes, safe_taxa * m + idx, tm).astype(jnp.uint32)
+        # measured faster than a scatter-max over the lanes on v5e
+        slot = jnp.where(lanes, prow * m + idx, pm).astype(jnp.uint32)
         comb = (slot << jnp.uint32(6)) | jnp.where(lanes, rank, jnp.uint8(0)).astype(jnp.uint32)
         cs = jax.lax.sort(comb)
-        bounds = (jnp.arange(tm, dtype=jnp.uint32) + jnp.uint32(1)) << jnp.uint32(6)
+        bounds = (jnp.arange(pm, dtype=jnp.uint32) + jnp.uint32(1)) << jnp.uint32(6)
         last = jnp.searchsorted(cs, bounds, side="left", method="sort").astype(jnp.int32) - 1
         got = jnp.take(cs, jnp.maximum(last, 0))
-        ok = ((got >> jnp.uint32(6)) == jnp.arange(tm, dtype=jnp.uint32)) & (last >= 0)
+        ok = ((got >> jnp.uint32(6)) == jnp.arange(pm, dtype=jnp.uint32)) & (last >= 0)
         segmax = jnp.where(ok, got & jnp.uint32(0x3F), 0).astype(jnp.uint8)
-        reg = jnp.maximum(reg.reshape(-1), segmax).reshape(t, m)
-        # counted lanes per taxon = sorted-position span of its slot range
-        taxon_last = last.reshape(t, m)[:, m - 1]
-        prev_last = jnp.concatenate([jnp.full(1, -1, jnp.int32), taxon_last[:-1]])
-        kmer_counts = kmer_counts + (taxon_last - prev_last).astype(jnp.int64)
+        reg = jnp.maximum(reg.reshape(-1), segmax).reshape(pool, m)
         return reg, kmer_counts, read_counts
 
-    kmer_counts = kmer_counts + jnp.bincount(
-        jnp.where(lanes, taxa_flat, t), length=t + 1
-    )[:t].astype(jnp.int64)
-    flat_slot = jnp.where(lanes, safe_taxa * m + idx, tm)
+    flat_slot = jnp.where(lanes, prow * m + idx, pm)
     reg_flat = jnp.concatenate([reg.reshape(-1), jnp.zeros(m, jnp.uint8)])
     reg_flat = reg_flat.at[flat_slot].max(jnp.where(lanes, rank, jnp.uint8(0)))
-    return reg_flat[:tm].reshape(t, m), kmer_counts, read_counts
+    return reg_flat[:pm].reshape(pool, m), kmer_counts, read_counts
 
 
 _update = functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("p",))(
@@ -101,16 +108,25 @@ _update = functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=(
 
 
 class DeviceCounters:
-    def __init__(self, n_taxa: int, p: int = 12, max_taxa: int = 1 << 17):
-        if n_taxa > max_taxa:
-            raise ValueError(
-                f"device counters support up to {max_taxa} taxa (got {n_taxa}); "
-                "use the exact-compat host accumulation for larger taxonomies"
-            )
+    def __init__(self, n_taxa: int, p: int = 12, pool_dense: np.ndarray | None = None):
+        """pool_dense: the dense taxon ids that can ever be COUNTED -- the
+        distinct database values (misses count under 0). None falls back to
+        the full taxonomy (small taxonomies only)."""
         self.p = p
         self.m = 1 << p
         self.n_taxa = n_taxa
-        self.reg = jnp.zeros((n_taxa, self.m), dtype=jnp.uint8)
+        if pool_dense is None:
+            pool = np.arange(n_taxa, dtype=np.int64)
+        else:
+            pool = np.unique(np.concatenate([[0], np.asarray(pool_dense, np.int64)]))
+        self.pool = pool
+        lut = np.zeros(n_taxa, dtype=np.int32)  # unpooled taxa alias row 0
+        lut[pool] = np.arange(len(pool), dtype=np.int32)
+        # row 0 is the taxid-0 (miss) row, so an aliased write is impossible:
+        # only counted taxa reach the register update and every counted taxon
+        # is in the pool by construction
+        self.pool_lut = jnp.asarray(np.stack([lut, lut], axis=1))
+        self.reg = jnp.zeros((len(pool), self.m), dtype=jnp.uint8)
         self.kmer_counts = jnp.zeros(n_taxa, dtype=jnp.int64)
         self.read_counts = jnp.zeros(n_taxa, dtype=jnp.int64)
 
@@ -125,6 +141,7 @@ class DeviceCounters:
             self.reg,
             self.kmer_counts,
             self.read_counts,
+            self.pool_lut,
             taxa_dense,
             enc,
             hll_lanes,
@@ -138,23 +155,14 @@ class DeviceCounters:
         kmer_counts = np.asarray(self.kmer_counts)
         read_counts = np.asarray(self.read_counts)
         active = np.flatnonzero((kmer_counts > 0) | (read_counts > 0))
-        if not len(active):
-            regs = np.zeros((0, self.m), np.uint8)
-        elif self.n_taxa * self.m <= (64 << 20):
-            # one bulk transfer beats compiling a fresh gather program whose
-            # shape depends on len(active)
-            regs = np.asarray(self.reg)[active]
-        else:
-            # big register plane: device-gather just the active rows, with the
-            # index count padded to a power of two so the program is reused
-            pad = 1 << int(np.ceil(np.log2(len(active))))
-            idx = np.zeros(pad, np.int32)
-            idx[: len(active)] = active
-            regs = np.asarray(jnp.take(self.reg, jnp.asarray(idx), axis=0))[: len(active)]
+        pool_row = np.full(self.n_taxa, -1, np.int64)
+        pool_row[self.pool] = np.arange(len(self.pool))
+        regs_all = np.asarray(self.reg)  # [P, m]: one bulk transfer
         out: dict[int, ReadCounts] = {}
-        for row, dense in enumerate(active.tolist()):
+        for dense in active.tolist():
             h = HLL(self.p, sparse=False)
-            h.M = regs[row].copy()
+            r = pool_row[dense]
+            h.M = regs_all[r].copy() if r >= 0 else np.zeros(self.m, np.uint8)
             h.n_observed = int(kmer_counts[dense])
             rc = ReadCounts(h)
             rc.n_kmers = int(kmer_counts[dense])

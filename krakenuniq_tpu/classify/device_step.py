@@ -471,6 +471,7 @@ def _classify_and_count_core(
     reg,
     kmer_counts,
     read_counts,
+    pool_lut,
     db_planes,
     taxid_table,
     tin,
@@ -501,6 +502,7 @@ def _classify_and_count_core(
         reg,
         kmer_counts,
         read_counts,
+        pool_lut,
         out["taxa_dense"],
         out["enc"],
         out["hll_lanes"],

@@ -404,7 +404,17 @@ class Classifier:
                 raise ValueError("--device-counters is incompatible with --exact/--uid-mapping")
             from .device_counters import DeviceCounters
 
-            self.dev_counters = DeviceCounters(tax.size, effective_p)
+            # registers only ever accumulate under DB values; pool them so
+            # the plane scales with the database's value set, not the
+            # taxonomy (a 2.4M-node taxDB would otherwise cost 10GB of HBM)
+            if self._ooc is not None:
+                vds = [c.vals_dense for c in self._ooc]
+            elif self.mesh is not None:
+                vds = self._mesh_vals_dense
+            else:
+                vds = [np.asarray(db.vals_dense) for db in self.dbs]
+            pool = np.unique(np.concatenate([np.unique(v) for v in vds if v is not None]))
+            self.dev_counters = DeviceCounters(tax.size, effective_p, pool_dense=pool)
         self.total_sequences = 0
         self.total_bases = 0
         self.total_classified = 0
@@ -771,6 +781,7 @@ class Classifier:
 
             out, state = classify_and_count(
                 *self.dev_counters.state(),
+                self.dev_counters.pool_lut,
                 self._db_planes,
                 self._taxid_table,
                 self._tin,
@@ -886,6 +897,7 @@ class Classifier:
 
             out, state = classify_and_count(
                 *self.dev_counters.state(),
+                self.dev_counters.pool_lut,
                 st["acc"],
                 self._taxid_table,
                 self._tin,

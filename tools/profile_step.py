@@ -121,12 +121,14 @@ def main():
     reg0 = jnp.zeros((n_taxa, 1 << 12), jnp.uint8)
     kc0 = jnp.zeros(n_taxa, jnp.int64)
     rc0 = jnp.zeros(n_taxa, jnp.int64)
+    lut_h = np.arange(n_taxa, dtype=np.int32)
+    pool_lut = jax.device_put(np.stack([lut_h, lut_h], axis=1))
 
     upd = jax.jit(update_core, static_argnames=("p",))
 
     def ph_update():
-        sink["u"] = upd(reg0, kc0, rc0, taxa_dense, enc, hitmask, calls,
-                        jnp.ones(B, bool), 12)
+        sink["u"] = upd(reg0, kc0, rc0, pool_lut, taxa_dense, enc, hitmask,
+                        calls, jnp.ones(B, bool), 12)
         return sink["u"][1]
 
     @jax.jit
@@ -150,7 +152,7 @@ def main():
 
     def ph_fused():
         out, st = ds.classify_and_count(
-            *state, ((fused,),), taxid_table, *targs, root,
+            *state, pool_lut, ((fused,),), taxid_table, *targs, root,
             codes_packed, ambig_packed, lengths, np.int32(B), cfg, 12)
         state[:] = st
         sink["c"] = out
