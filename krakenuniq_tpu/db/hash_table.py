@@ -122,19 +122,36 @@ def _host_place(hashes: np.ndarray, lb: int, max_rounds: int = 400, seed: int = 
     b2 = ((hashes * GOLDEN) >> shift).astype(np.int64)
     pinned = ((hashes << np.uint64(lb)) >> np.uint64(32)).astype(np.uint32) == 0
     b2 = np.where(pinned, b1, b2)
+    # slot indices fit int32 through lb=29 (2*nb <= 2^30): half the memory
+    # traffic of the per-round gathers/wheres at 10^8-key scale
+    idx_t = np.int64 if (lb >= 30 or n >= (1 << 31) - 2) else np.int32
+    b1 = b1.astype(idx_t, copy=False)
+    b2 = b2.astype(idx_t, copy=False)
 
     slots = np.full(nb * BUCKET_SLOTS, -1, dtype=np.int32)  # occupant key index
     active = np.arange(n, dtype=np.int32)
     target = b1.copy()  # bucket each active key tries this round
     claim = np.full(nb * BUCKET_SLOTS, n, dtype=np.int32)  # reset per round below
     for rnd in range(max_rounds):
-        t = target[active]
-        s0 = slots[t * 2]
-        s1 = slots[t * 2 + 1]
-        coin = (
-            (hashes[active] >> np.uint64((rnd + seed) % 61)) & np.uint64(1)
-        ).astype(np.int64)
-        want = np.where(s0 < 0, t * 2, np.where(s1 < 0, t * 2 + 1, t * 2 + coin))
+        if rnd == 0:
+            # every slot is empty: want = first slot of the first choice
+            t = b1
+            want = t * 2
+        else:
+            t = target[active]
+            s0 = slots[t * 2]
+            s1 = slots[t * 2 + 1]
+            want = np.where(s0 < 0, t * 2, t * 2 + 1)
+            # the eviction coin (a u64 shift over the hashes) is only needed
+            # where BOTH slots are full -- a small subset after round 1
+            both = (s0 >= 0) & (s1 >= 0)
+            if both.any():
+                sub = np.flatnonzero(both)
+                coin = (
+                    (hashes[active[sub]] >> np.uint64((rnd + seed) % 61))
+                    & np.uint64(1)
+                ).astype(idx_t)
+                want[sub] = t[sub] * 2 + coin
         # claim-verify: lowest key index wins a contested slot
         np.minimum.at(claim, want, active)
         win = claim[want] == active

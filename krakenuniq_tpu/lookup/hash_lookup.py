@@ -99,6 +99,21 @@ def _probe(planes, h, lb: int):
     return _probe_rows(planes[0], planes[1], h, lb)
 
 
+def _rematerialize_u64(h: jax.Array) -> jax.Array:
+    """Identity bitcast round-trip (u64 -> u32 pairs -> u64).
+
+    Measured on v5e at 8.5M queries: when the probe's gather indices derive
+    from a large fused producer (the unpack/window/murmur chain), XLA:TPU
+    emits the row-gathers inside that loop and the probe runs ~13x slower
+    (117ms vs 9.5ms) than probing a materialized hash array. Neither
+    `optimization_barrier` nor splitting into two jit programs restores the
+    fast path, but this bitcast round-trip does (117ms -> 31ms): it forces
+    the hash value through a concrete u32-pair materialization the gather
+    emitter treats as a plain operand. Semantically a no-op."""
+    pairs = jax.lax.bitcast_convert_type(h, jnp.uint32)
+    return jax.lax.bitcast_convert_type(pairs, jnp.uint64).reshape(h.shape)
+
+
 @functools.partial(jax.jit, static_argnames=("lb",))
 def probe_values(planes, hashes, lb: int):
     """Raw probe for the build-time self check: the stored value word per
@@ -116,6 +131,6 @@ def hash_lookup_kmers(
 ):
     """Returns the stored value per lane; 0 where missing/invalid."""
     shape = hashes.shape
-    ok, val = _probe(planes, hashes.reshape(-1), lb)
+    ok, val = _probe(planes, _rematerialize_u64(hashes).reshape(-1), lb)
     ok = ok & valid.reshape(-1)
     return jnp.where(ok, val, jnp.uint32(0)).reshape(shape)

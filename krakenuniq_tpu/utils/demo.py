@@ -76,9 +76,20 @@ def make_demo_db(
     seed: int = 7,
     species_base: int = 1000,
     pad_nodes: int = 0,
+    ballast_keys: int = 0,
 ):
     """Returns (keys, vals, offsets, taxonomy, genomes_by_taxid) with keys
-    sorted in reference (minimizer-bin, key) order."""
+    sorted in reference (minimizer-bin, key) order.
+
+    ballast_keys appends that many random canonical k-mers (values drawn
+    from the same species set) so benchmarks can reach 10^8-key scale
+    without 10^8 bp of genome synthesis. Ballast bins are drawn uniformly
+    instead of computed (bin_key over 10^8 keys costs minutes of host
+    bandwidth, and a uniform draw is statistically indistinguishable from
+    the XOR-scrambled minimizer of a uniform key): only the bsearch lookup
+    path consults bins at query time, and it binary-searches whatever range
+    the index declares -- the hash path (the benchmarked one) addresses by
+    key hash alone."""
     tax, species = make_demo_taxonomy(n_species, species_base, pad_nodes)
     rng = np.random.default_rng(seed)
     host_codes = rng.integers(0, 4, size=(n_species, genome_len), dtype=np.uint8)
@@ -100,7 +111,28 @@ def make_demo_db(
     sp = ssp[first]
 
     b = bits.bin_key(keys, k, nt)
-    order = np.lexsort((keys, b))
+    if ballast_keys:
+        extra = bits.canonical_representation(
+            rng.integers(0, 1 << (2 * k), size=ballast_keys, dtype=np.uint64), k
+        )
+        extra = np.unique(extra)
+        gsorted = np.sort(keys)
+        pos = np.searchsorted(gsorted, extra)
+        pos = np.clip(pos, 0, len(gsorted) - 1)
+        extra = extra[gsorted[pos] != extra]  # drop collisions with genome keys
+        keys = np.concatenate([keys, extra])
+        sp = np.concatenate(
+            [sp, rng.integers(0, n_species, size=len(extra)).astype(np.uint32)]
+        )
+        b = np.concatenate(
+            [b, rng.integers(0, 4**nt, size=len(extra), dtype=np.uint64)]
+        )
+        # two stable passes = lexsort((keys, b)) at 1e8 scale
+        order = np.argsort(keys, kind="stable")
+        keys, sp, b = keys[order], sp[order], b[order]
+        order = np.argsort(b, kind="stable")
+    else:
+        order = np.lexsort((keys, b))
     keys = keys[order]
     sp = sp[order]
     counts = np.bincount(b.astype(np.int64), minlength=4**nt)
