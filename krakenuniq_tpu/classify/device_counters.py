@@ -11,9 +11,11 @@ DATABASE VALUES (counted k-mers carry the DB's LCA taxon, classify.cpp:939)
 therefore [pool_size, m] over the sorted distinct dense values (plus 0 for
 misses), NOT [taxonomy_size, m]: a 2.4M-node NCBI taxonomy costs nothing
 beyond its actual value set. Read/k-mer counters stay full-width [T]
-(calls can land on any ancestor via resolve_tree). The dense->pool remap
-rides a [T, 2] row-gather (the fast gather path; a flat element-gather is
-~10x slower per the layout notes in db/hash_table.py).
+(calls can land on any ancestor via resolve_tree). The dense->pool
+translation happens in POOL-SLOT space (a searchsorted over the sorted
+global slot keys) for small pools, never as a per-lane gather -- gathers
+whose indices derive from computed values run an order of magnitude slower
+on this XLA:TPU (see lookup/hash_lookup.py notes).
 
 Trade-off (documented): unique-k-mer estimates come from dense registers for
 every taxon, whereas the reference keeps low-cardinality taxa in sparse mode
@@ -37,7 +39,7 @@ def update_core(
     reg: jax.Array,  # uint8 [P, m] register pool (donated)
     kmer_counts: jax.Array,  # int64 [T] (donated)
     read_counts: jax.Array,  # int64 [T] (donated)
-    pool_lut: jax.Array,  # int32 [T, 2]: dense taxon -> pool row (both cols)
+    pool_maps: tuple,  # (pool_rows int32 [P] sorted dense ids, lut1d int32 [T])
     taxa_dense: jax.Array,  # int32 [B, W]
     enc: jax.Array,  # uint32 [B, W]
     hll_lanes: jax.Array,  # bool [B, W]
@@ -48,6 +50,7 @@ def update_core(
     """Pure accumulation body; jitted standalone below and fused into the
     classify step by the pipeline (one dispatch, overlapped with the lookup
     gathers)."""
+    pool_rows, lut1d = pool_maps
     t = kmer_counts.shape[0]
     pool, m = reg.shape
     pm = pool * m
@@ -77,25 +80,37 @@ def update_core(
     plain_rank = (clz + jnp.uint32(1)).astype(jnp.uint8)
     rank = jnp.where(flagged, flag_rank, plain_rank)
 
-    # dense taxon -> pool row (one fast row-gather; col 0 == col 1)
-    prow = jnp.take(pool_lut, safe_taxa, axis=0)[:, 0]
-
     if pm <= (1 << 22):
-        # sort-based segment max: pack (slot, rank) into one u32 (rank < 64
-        # always: <= (64 - pPrime + 1) + (25 - p) = 53), sort, then read each
-        # slot's max rank with a co-sorted searchsorted over the slot grid --
-        # measured faster than a scatter-max over the lanes on v5e
-        slot = jnp.where(lanes, prow * m + idx, pm).astype(jnp.uint32)
-        comb = (slot << jnp.uint32(6)) | jnp.where(lanes, rank, jnp.uint8(0)).astype(jnp.uint32)
+        # sort-based segment max over GLOBAL slot keys -- no per-lane
+        # dense->pool remap (a gather with computed indices runs ~10x slower
+        # than the sort on this XLA:TPU; see lookup/hash_lookup.py notes).
+        # Key = (dense_taxon * m + idx) << 6 | rank in u64; the per-pool-slot
+        # maxima are read back with a searchsorted over the POOL's slot grid,
+        # which is where the dense->pool translation happens (P*m probes of a
+        # sorted array instead of B*W gather lanes).
+        slot64 = (
+            safe_taxa.astype(jnp.uint64) * jnp.uint64(m) + idx.astype(jnp.uint64)
+        )
+        comb = jnp.where(
+            lanes,
+            (slot64 << jnp.uint64(6)) | rank.astype(jnp.uint64),
+            jnp.uint64(0xFFFFFFFFFFFFFFFF),
+        )
         cs = jax.lax.sort(comb)
-        bounds = (jnp.arange(pm, dtype=jnp.uint32) + jnp.uint32(1)) << jnp.uint32(6)
+        grid = (
+            pool_rows.astype(jnp.uint64)[:, None] * jnp.uint64(m)
+            + jnp.arange(m, dtype=jnp.uint64)[None, :]
+        ).reshape(-1)
+        bounds = (grid + jnp.uint64(1)) << jnp.uint64(6)
         last = jnp.searchsorted(cs, bounds, side="left", method="sort").astype(jnp.int32) - 1
         got = jnp.take(cs, jnp.maximum(last, 0))
-        ok = ((got >> jnp.uint32(6)) == jnp.arange(pm, dtype=jnp.uint32)) & (last >= 0)
-        segmax = jnp.where(ok, got & jnp.uint32(0x3F), 0).astype(jnp.uint8)
+        ok = ((got >> jnp.uint64(6)) == grid) & (last >= 0)
+        segmax = jnp.where(ok, got & jnp.uint64(0x3F), 0).astype(jnp.uint8)
         reg = jnp.maximum(reg.reshape(-1), segmax).reshape(pool, m)
         return reg, kmer_counts, read_counts
 
+    # large pools: plain 1-D element-gather remap + scatter-max
+    prow = jnp.take(lut1d, safe_taxa)
     flat_slot = jnp.where(lanes, prow * m + idx, pm)
     reg_flat = jnp.concatenate([reg.reshape(-1), jnp.zeros(m, jnp.uint8)])
     reg_flat = reg_flat.at[flat_slot].max(jnp.where(lanes, rank, jnp.uint8(0)))
@@ -125,7 +140,10 @@ class DeviceCounters:
         # row 0 is the taxid-0 (miss) row, so an aliased write is impossible:
         # only counted taxa reach the register update and every counted taxon
         # is in the pool by construction
-        self.pool_lut = jnp.asarray(np.stack([lut, lut], axis=1))
+        self.pool_maps = (
+            jnp.asarray(pool.astype(np.int32)),
+            jnp.asarray(lut),
+        )
         self.reg = jnp.zeros((len(pool), self.m), dtype=jnp.uint8)
         self.kmer_counts = jnp.zeros(n_taxa, dtype=jnp.int64)
         self.read_counts = jnp.zeros(n_taxa, dtype=jnp.int64)
@@ -141,7 +159,7 @@ class DeviceCounters:
             self.reg,
             self.kmer_counts,
             self.read_counts,
-            self.pool_lut,
+            self.pool_maps,
             taxa_dense,
             enc,
             hll_lanes,

@@ -471,7 +471,7 @@ def _classify_and_count_core(
     reg,
     kmer_counts,
     read_counts,
-    pool_lut,
+    pool_maps,
     db_planes,
     taxid_table,
     tin,
@@ -502,7 +502,7 @@ def _classify_and_count_core(
         reg,
         kmer_counts,
         read_counts,
-        pool_lut,
+        pool_maps,
         out["taxa_dense"],
         out["enc"],
         out["hll_lanes"],

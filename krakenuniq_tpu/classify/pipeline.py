@@ -781,7 +781,7 @@ class Classifier:
 
             out, state = classify_and_count(
                 *self.dev_counters.state(),
-                self.dev_counters.pool_lut,
+                self.dev_counters.pool_maps,
                 self._db_planes,
                 self._taxid_table,
                 self._tin,
@@ -897,7 +897,7 @@ class Classifier:
 
             out, state = classify_and_count(
                 *self.dev_counters.state(),
-                self.dev_counters.pool_lut,
+                self.dev_counters.pool_maps,
                 st["acc"],
                 self._taxid_table,
                 self._tin,
@@ -1157,7 +1157,7 @@ class Classifier:
         run the device step in lookup-only mode, resolve on host.
 
         Returns (taxa u32[W], ambig bool[W], enc u32[W], call int, hits int,
-        processed bool[W])."""
+        processed bool[W], canon u64[W] | None (--exact))."""
         import dataclasses as _dc
 
         from ..kmer import encode_batch
@@ -1201,15 +1201,19 @@ class Classifier:
         taxa_rows = np.asarray(out["taxa"])
         ambig_rows = np.asarray(out["ambig"])
         enc_rows = np.asarray(out["enc"])
-        parts_t, parts_a, parts_e = [], [], []
+        canon_rows = np.asarray(out["canon"]) if "canon" in out else None
+        parts_t, parts_a, parts_e, parts_c = [], [], [], []
         for i, c in enumerate(chunks):
             w = len(c) - k + 1
             parts_t.append(taxa_rows[i, :w])
             parts_a.append(ambig_rows[i, :w])
             parts_e.append(enc_rows[i, :w])
+            if canon_rows is not None:
+                parts_c.append(canon_rows[i, :w])
         taxa = np.concatenate(parts_t)
         ambig = np.concatenate(parts_a)
         enc = np.concatenate(parts_e)
+        canon = np.concatenate(parts_c) if canon_rows is not None else None
 
         hit = taxa != 0
         if opts.quick:
@@ -1237,7 +1241,7 @@ class Classifier:
                 call = int(resolve_uids(counts, self.uid_map, self.taxonomy.lca_fold))
             else:
                 call = int(self.taxonomy.resolve_tree_host(counts))
-        return taxa, ambig, enc, call, hits, processed
+        return taxa, ambig, enc, call, hits, processed, canon
 
     # ------------------------------------------------------------ python path
 
@@ -1271,39 +1275,38 @@ class Classifier:
             n_kmers[i] = len(long_results[i][0])
 
         # per-taxon accumulation in read order (work-unit HLL semantics)
-        if self.dev_counters is not None and not long_idx:
+        if self.dev_counters is not None:
             row_valid = np.zeros(out["call_dense"].shape[0], dtype=bool)
             row_valid[: len(unit)] = True
+            for i in long_idx:
+                # long reads accumulate through the host-side counter below
+                # (their lanes live in chunk rows, not this unit's planes);
+                # their zero-length placeholder rows hold no counted lanes
+                row_valid[i] = False
             self.dev_counters.update(
                 out["taxa_dense"], out["enc"], out["hll_lanes"], out["call_dense"], row_valid
             )
+            for i in sorted(long_idx):
+                t_l, a_l, e_l, call_l, _, proc, _ = long_results[i]
+                lanes = proc & ~a_l
+                self.counter.process_unit(
+                    t_l[lanes], e_l[lanes], np.asarray([call_l], dtype=np.uint32)
+                )
         else:
+            canon_out = np.asarray(out["canon"]) if opts.exact else None
             taxa_parts, enc_parts = [], []
             for i in range(len(unit)):
                 if i in long_results:
-                    t_l, a_l, e_l, _, _, proc = long_results[i]
+                    t_l, a_l, e_l, _, _, proc, c_l = long_results[i]
                     lanes = proc & ~a_l
                     taxa_parts.append(t_l[lanes])
-                    enc_parts.append(e_l[lanes])
+                    enc_parts.append((c_l if opts.exact else e_l)[lanes])
                 else:
                     lanes = hll_lanes[i]
                     taxa_parts.append(taxa[i][lanes])
-                    enc_parts.append(enc_arr[i][lanes])
-            if opts.exact:
-                canon = np.asarray(out["canon"])
-                enc_parts = []
-                for i in range(len(unit)):
-                    if i in long_results:
-                        raise NotImplementedError(
-                            "--exact with reads longer than max_read_len"
-                        )
-                    enc_parts.append(canon[i][hll_lanes[i]])
-            if self.dev_counters is not None:
-                # mixed long/short unit with device counters: route through
-                # the host accumulator for exactness of this unit
-                raise NotImplementedError(
-                    "--device-counters with reads longer than max_read_len"
-                )
+                    enc_parts.append(
+                        (canon_out[i] if opts.exact else enc_arr[i])[lanes]
+                    )
             self.counter.process_unit(
                 np.concatenate(taxa_parts) if taxa_parts else np.empty(0, np.uint32),
                 np.concatenate(enc_parts) if enc_parts else np.empty(0, np.uint32),
@@ -1405,7 +1408,15 @@ class Classifier:
         self.ensure_counts_files()
         counts = self.counter.counts
         if self.dev_counters is not None:
-            counts = self.dev_counters.finalize(self.taxonomy.taxids)
+            dev_counts = self.dev_counters.finalize(self.taxonomy.taxids)
+            # long reads (chunked on host) accumulated in self.counter;
+            # ReadCounts.iadd handles the sparse-into-dense HLL merge
+            for tid, rc in counts.items():
+                if tid in dev_counts:
+                    dev_counts[tid].iadd(rc)
+                else:
+                    dev_counts[tid] = rc
+            counts = dev_counts
         rep = TaxReport(
             self.taxonomy,
             counts,

