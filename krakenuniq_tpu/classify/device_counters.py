@@ -17,11 +17,13 @@ global slot keys) for small pools, never as a per-lane gather -- gathers
 whose indices derive from computed values run an order of magnitude slower
 on this XLA:TPU (see lookup/hash_lookup.py notes).
 
-Trade-off (documented): unique-k-mer estimates come from dense registers for
-every taxon, whereas the reference keeps low-cardinality taxa in sparse mode
-(higher effective precision) -- estimates are HLL-quality but not
-bit-identical to the reference for taxa under ~1000 unique k-mers per the
-sparse threshold. Read/k-mer counts are exact.
+Bit-exactness: dense registers alone reproduce the reference only for taxa
+whose counters END dense. The sparse-regime tracking in sparse_exact.py
+closes the gap -- per work unit the device decides which (unit, taxon)
+groups went dense and compacts the distinct encodings of those that stayed
+sparse into a small host buffer; finalize() then rebuilds sparse-mode HLLs
+whose state (and therefore every report column) is bit-identical to the
+host/reference path. `sparse_cap=0` opts out (estimate-level compat only).
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..hll import HLL, ReadCounts
+from .sparse_exact import SparseTracker, sparse_stats_core, sparse_stats_host
 
 
 def update_core(
@@ -46,6 +49,8 @@ def update_core(
     call_dense: jax.Array,  # int32 [B]
     row_valid: jax.Array,  # bool [B]
     p: int,
+    unit_id: jax.Array | None = None,  # uint8 [B]: work-unit index per row
+    sparse_cap: int = 0,  # >0: also return sparse-exact stats (buf, n_p, n_e)
 ):
     """Pure accumulation body; jitted standalone below and fused into the
     classify step by the pipeline (one dispatch, overlapped with the lookup
@@ -54,6 +59,11 @@ def update_core(
     t = kmer_counts.shape[0]
     pool, m = reg.shape
     pm = pool * m
+    sp = (
+        sparse_stats_core(taxa_dense, enc, hll_lanes, unit_id, p, sparse_cap)
+        if sparse_cap > 0
+        else ()
+    )
     taxa_flat = taxa_dense.reshape(-1)
     enc_flat = enc.reshape(-1)
     lanes = hll_lanes.reshape(-1)
@@ -107,29 +117,39 @@ def update_core(
         ok = ((got >> jnp.uint64(6)) == grid) & (last >= 0)
         segmax = jnp.where(ok, got & jnp.uint64(0x3F), 0).astype(jnp.uint8)
         reg = jnp.maximum(reg.reshape(-1), segmax).reshape(pool, m)
-        return reg, kmer_counts, read_counts
+        return (reg, kmer_counts, read_counts) + sp
 
     # large pools: plain 1-D element-gather remap + scatter-max
     prow = jnp.take(lut1d, safe_taxa)
     flat_slot = jnp.where(lanes, prow * m + idx, pm)
     reg_flat = jnp.concatenate([reg.reshape(-1), jnp.zeros(m, jnp.uint8)])
     reg_flat = reg_flat.at[flat_slot].max(jnp.where(lanes, rank, jnp.uint8(0)))
-    return reg_flat[:pm].reshape(pool, m), kmer_counts, read_counts
+    return (reg_flat[:pm].reshape(pool, m), kmer_counts, read_counts) + sp
 
 
-_update = functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("p",))(
-    update_core
-)
+_update = functools.partial(
+    jax.jit, donate_argnums=(0, 1, 2), static_argnames=("p", "sparse_cap")
+)(update_core)
 
 
 class DeviceCounters:
-    def __init__(self, n_taxa: int, p: int = 12, pool_dense: np.ndarray | None = None):
+    def __init__(
+        self,
+        n_taxa: int,
+        p: int = 12,
+        pool_dense: np.ndarray | None = None,
+        sparse_cap: int = 1 << 17,
+    ):
         """pool_dense: the dense taxon ids that can ever be COUNTED -- the
         distinct database values (misses count under 0). None falls back to
-        the full taxonomy (small taxonomies only)."""
+        the full taxonomy (small taxonomies only). sparse_cap: per-span
+        buffer slots for the sparse-exact stats (0 = estimate-compat only,
+        no sparse tracking)."""
         self.p = p
         self.m = 1 << p
         self.n_taxa = n_taxa
+        self.sparse_cap = sparse_cap
+        self.tracker = SparseTracker() if sparse_cap > 0 else None
         if pool_dense is None:
             pool = np.arange(n_taxa, dtype=np.int64)
         else:
@@ -154,8 +174,16 @@ class DeviceCounters:
     def set_state(self, state) -> None:
         self.reg, self.kmer_counts, self.read_counts = state
 
-    def update(self, taxa_dense, enc, hll_lanes, call_dense, row_valid) -> None:
-        self.reg, self.kmer_counts, self.read_counts = _update(
+    def update(
+        self, taxa_dense, enc, hll_lanes, call_dense, row_valid, unit_id=None
+    ) -> None:
+        """Standalone (non-fused) update: python and mesh paths. Consumes the
+        sparse-exact buffer synchronously (these paths fetch per-unit
+        anyway); the native path fuses update_core into the classify program
+        and defers the buffer fetch to span finish instead."""
+        if self.tracker is not None and unit_id is None:
+            unit_id = np.zeros(int(taxa_dense.shape[0]), np.uint8)
+        out = _update(
             self.reg,
             self.kmer_counts,
             self.read_counts,
@@ -166,10 +194,49 @@ class DeviceCounters:
             call_dense,
             row_valid,
             self.p,
+            unit_id,
+            self.sparse_cap if self.tracker is not None else 0,
+        )
+        self.reg, self.kmer_counts, self.read_counts = out[:3]
+        if self.tracker is not None:
+            buf, n_p, n_e = out[3:]
+            if not self.tracker.consume_buffer(
+                np.asarray(buf), int(n_p), int(n_e)
+            ):
+                # buffer overflow: redo the span's stats on host from the
+                # full planes (rare; these paths still hold them)
+                self.consume_host(
+                    np.asarray(taxa_dense),
+                    np.asarray(enc),
+                    np.asarray(hll_lanes),
+                    unit_bounds=None,
+                    unit_id=np.asarray(unit_id),
+                )
+
+    def consume_host(
+        self, taxa_dense, enc, hll_lanes, unit_bounds=None, unit_id=None
+    ) -> None:
+        """Host-side sparse stats for one span (overflow fallback)."""
+        th = self.m // 4
+        if unit_bounds is None:
+            ub = [0]
+            u = np.asarray(unit_id)
+            for i in range(1, len(u)):
+                if u[i] != u[i - 1]:
+                    ub.append(i)
+            ub.append(len(u))
+            unit_bounds = ub
+        self.tracker.add(
+            *sparse_stats_host(taxa_dense, enc, hll_lanes, unit_bounds, th)
         )
 
     def finalize(self, taxid_of_dense: np.ndarray) -> dict[int, ReadCounts]:
-        """Fetch the device state and build the taxon_counts map."""
+        """Fetch the device state and build the taxon_counts map.
+
+        With sparse tracking: taxa that never went dense in any work unit
+        get a SPARSE HLL holding the union of their units' distinct
+        encodings -- the exact final state the reference's unit-merge fold
+        produces (order-independent; see sparse_exact.py module doc)."""
         kmer_counts = np.asarray(self.kmer_counts)
         read_counts = np.asarray(self.read_counts)
         active = np.flatnonzero((kmer_counts > 0) | (read_counts > 0))
@@ -178,12 +245,18 @@ class DeviceCounters:
         regs_all = np.asarray(self.reg)  # [P, m]: one bulk transfer
         out: dict[int, ReadCounts] = {}
         for dense in active.tolist():
-            h = HLL(self.p, sparse=False)
-            r = pool_row[dense]
-            h.M = regs_all[r].copy() if r >= 0 else np.zeros(self.m, np.uint8)
-            h.n_observed = int(kmer_counts[dense])
+            nk = int(kmer_counts[dense])
+            if self.tracker is not None and dense not in self.tracker.dense_ever:
+                h = HLL(self.p, sparse=True)
+                h.sparse_set = self.tracker.sparse_set_of(dense)
+                h.n_observed = nk
+            else:
+                h = HLL(self.p, sparse=False)
+                r = pool_row[dense]
+                h.M = regs_all[r].copy() if r >= 0 else np.zeros(self.m, np.uint8)
+                h.n_observed = nk
             rc = ReadCounts(h)
-            rc.n_kmers = int(kmer_counts[dense])
+            rc.n_kmers = nk
             rc.n_reads = int(read_counts[dense])
             out[int(taxid_of_dense[dense])] = rc
         return out

@@ -482,12 +482,16 @@ def _classify_and_count_core(
     ambig,
     lengths,
     n_valid,
+    unit_id,  # uint8 [B] work-unit index per row (sparse-exact tracking)
     cfg: StepConfig,
     p: int,
+    sparse_cap: int = 0,
 ):
     """Classify step with the --device-counters accumulation fused into the
     same XLA program: one dispatch per span, and the accumulation scatters
-    overlap the lookup gathers instead of serializing behind them."""
+    overlap the lookup gathers instead of serializing behind them. With
+    sparse_cap > 0 the program also emits the per-work-unit sparse-regime
+    stats (sparse_exact.py) that make the fast mode bit-identical."""
     from .device_counters import update_core
 
     # the accumulation consumes intermediate outputs, so run the core
@@ -509,12 +513,16 @@ def _classify_and_count_core(
         out["call_dense"],
         row_valid,
         p,
+        unit_id,
+        sparse_cap,
     )
     if cfg.outputs is not None:
         out = {k: out[k] for k in cfg.outputs}
-    return out, state
+    return out, state[:3], state[3:]
 
 
 classify_and_count = jax.jit(
-    _classify_and_count_core, static_argnames=("cfg", "p"), donate_argnums=(0, 1, 2)
+    _classify_and_count_core,
+    static_argnames=("cfg", "p", "sparse_cap"),
+    donate_argnums=(0, 1, 2),
 )

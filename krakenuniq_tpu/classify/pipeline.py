@@ -81,8 +81,14 @@ class ClassifyOptions:
     print_progress: bool = True
     use_native: bool = True
     # keep the entire taxon_counts state on device and fetch it once at the
-    # end (fast mode; see classify/device_counters.py for the trade-off)
+    # end (fast mode; see classify/device_counters.py)
     device_counters: bool = False
+    # --device-counters sparse-exact buffer slots per span (u64 each). The
+    # sparse-regime tracking makes the fast mode BIT-IDENTICAL to the host
+    # path (classify/sparse_exact.py); 0 opts out (estimate-level compat,
+    # slightly faster). A span overflowing the buffer falls back to host
+    # stats for that span (rare; counted in dev_counters.tracker.overflows).
+    sparse_cap: int = 1 << 17
     # units per device dispatch are grouped up to this; bigger spans amortize
     # fixed per-dispatch transport overhead but pay bucket-padded device time
     # on tail spans (measured best at 65536 with 32MB input chunks)
@@ -375,6 +381,11 @@ class Classifier:
                 local_dict=False,
                 outputs=wide_outputs,
             )
+        # sparse-exact overflow fallback: re-run the span for the full
+        # per-lane feed and compute the unit stats on host (rare)
+        self._cfg_sparse_fb = dataclasses.replace(
+            self._cfg_packed, outputs=("taxa_dense", "enc", "hll_lanes")
+        )
         self._sharded_fn = self._sharded_fn_packed = None
         self._sharded_fn_long = None  # long-read (lookup-only) program, lazy
         if self.mesh is not None:
@@ -414,7 +425,18 @@ class Classifier:
             else:
                 vds = [np.asarray(db.vals_dense) for db in self.dbs]
             pool = np.unique(np.concatenate([np.unique(v) for v in vds if v is not None]))
-            self.dev_counters = DeviceCounters(tax.size, effective_p, pool_dense=pool)
+            from .sparse_exact import TAXON_BITS
+
+            sparse_cap = self.opts.sparse_cap
+            if sparse_cap > 0 and tax.size >= (1 << TAXON_BITS):
+                raise ValueError(
+                    f"--device-counters sparse-exact tracking supports "
+                    f"taxonomies under 2^{TAXON_BITS} nodes (got {tax.size}); "
+                    f"set sparse_cap=0 for estimate-level compat"
+                )
+            self.dev_counters = DeviceCounters(
+                tax.size, effective_p, pool_dense=pool, sparse_cap=sparse_cap
+            )
         self.total_sequences = 0
         self.total_bases = 0
         self.total_classified = 0
@@ -622,9 +644,17 @@ class Classifier:
                 bounds.append(len(offs))
             i = 0
             max_reads = self.opts.device_batch_reads
+            from .sparse_exact import MAX_UNITS
+
             while i < len(bounds) - 1:
                 j = i + 1
-                while j < len(bounds) - 1 and bounds[j + 1] - bounds[i] <= max_reads:
+                # cap units per span: sparse-exact group keys carry the unit
+                # index in UNIT_BITS bits (sparse_exact.py)
+                while (
+                    j < len(bounds) - 1
+                    and bounds[j + 1] - bounds[i] <= max_reads
+                    and j - i < MAX_UNITS
+                ):
                     j += 1
                 span = offs[bounds[i] : bounds[j]]
                 unit_bounds = [b - bounds[i] for b in bounds[i : j + 1]]
@@ -773,13 +803,14 @@ class Classifier:
                 self.dev_counters.update(
                     out["taxa_dense"], out["enc"], out["hll_lanes"],
                     out["call_dense"], row_valid,
+                    unit_id=self._unit_id_rows(unit_bounds, b),
                 )
         elif self.dev_counters is not None:
             # accumulation fused into the classify program: one dispatch,
             # scatters overlapped with the lookup gathers
             from .device_step import classify_and_count
 
-            out, state = classify_and_count(
+            out, state, sp = classify_and_count(
                 *self.dev_counters.state(),
                 self.dev_counters.pool_maps,
                 self._db_planes,
@@ -792,10 +823,15 @@ class Classifier:
                 ambig_arr,
                 lengths,
                 np.int32(n_span),
+                self._unit_id_rows(unit_bounds, b),
                 self._cfg_packed,
                 self.dev_counters.p,
+                self.dev_counters.sparse_cap,
             )
             self.dev_counters.set_state(state)
+            if sp:
+                out = dict(out)
+                out["_sp"] = sp  # fetched at span finish (overlapped)
         else:
             out = classify_step(
                 self._db_planes,
@@ -857,6 +893,19 @@ class Classifier:
         except (AttributeError, KeyError):
             pass
 
+    @staticmethod
+    def _unit_id_rows(unit_bounds, b: int) -> np.ndarray:
+        """Per-row work-unit index (uint8 [b]); padded rows inherit the last
+        unit (they hold no counted lanes)."""
+        ub = np.asarray(unit_bounds, np.int64)
+        ids = np.repeat(
+            np.arange(len(ub) - 1, dtype=np.uint8), np.diff(ub)
+        )
+        if len(ids) < b:
+            last = ids[-1] if len(ids) else np.uint8(0)
+            ids = np.concatenate([ids, np.full(b - len(ids), last, np.uint8)])
+        return ids
+
     def _start_ooc_span(self, buf, offs, unit_bounds, fastq):
         """Encode and upload one span for the out-of-core group; the chunk
         probes and the finish dispatch happen at group flush."""
@@ -895,7 +944,7 @@ class Classifier:
         if self.dev_counters is not None:
             from .device_step import classify_and_count
 
-            out, state = classify_and_count(
+            out, state, sp = classify_and_count(
                 *self.dev_counters.state(),
                 self.dev_counters.pool_maps,
                 st["acc"],
@@ -908,10 +957,15 @@ class Classifier:
                 st["ambig"],
                 st["lengths"],
                 np.int32(st["n_span"]),
+                self._unit_id_rows(st["unit_bounds"], st["b"]),
                 self._cfg_packed,
                 self.dev_counters.p,
+                self.dev_counters.sparse_cap,
             )
             self.dev_counters.set_state(state)
+            if sp:
+                out = dict(out)
+                out["_sp"] = sp
         else:
             out = classify_step(
                 st["acc"],
@@ -1003,7 +1057,21 @@ class Classifier:
             calls = self._resolve_uid_calls(taxa_full, n_kmers, calls, n_span)
 
         if self.dev_counters is not None:
-            pass  # accumulated on device at dispatch time
+            # registers/counts accumulated on device at dispatch time; fold
+            # in the sparse-exact stats buffer (if tracking is on)
+            sp = out.get("_sp")
+            if sp is not None:
+                sp_buf, sp_np, sp_ne = sp
+                if not self.dev_counters.tracker.consume_buffer(
+                    np.asarray(sp_buf), int(sp_np), int(sp_ne)
+                ):
+                    fb = dict(redispatch(self._cfg_sparse_fb))
+                    self.dev_counters.consume_host(
+                        np.asarray(fb["taxa_dense"])[:n_span],
+                        np.asarray(fb["enc"])[:n_span],
+                        np.asarray(fb["hll_lanes"])[:n_span],
+                        unit_bounds=unit_bounds,
+                    )
         elif opts.exact:
             taxa_full = np.asarray(out["taxa"])
             hll_lanes = np.asarray(out["hll_lanes"])
@@ -1274,8 +1342,17 @@ class Classifier:
             hits[i] = long_results[i][4]
             n_kmers[i] = len(long_results[i][0])
 
-        # per-taxon accumulation in read order (work-unit HLL semantics)
-        if self.dev_counters is not None:
+        # per-taxon accumulation in read order (work-unit HLL semantics).
+        # Sparse-exact + long reads: the unit's short and long lanes must
+        # land in ONE unit-local counter per taxon for the sparse/dense
+        # decision to match the reference, so such units route entirely
+        # through the host counter (merged into the device state at
+        # write_report -- the final HLL fold is order-independent, see
+        # sparse_exact.py).
+        use_dev = self.dev_counters is not None and not (
+            long_idx and self.dev_counters.tracker is not None
+        )
+        if use_dev:
             row_valid = np.zeros(out["call_dense"].shape[0], dtype=bool)
             row_valid[: len(unit)] = True
             for i in long_idx:

@@ -1,5 +1,7 @@
-"""Device-resident counters: read/k-mer counts exact; HLL estimates match a
-dense-mode host HLL bit-for-bit."""
+"""Device-resident counters (--device-counters): read/k-mer counts exact and,
+with the sparse-exact tracking (classify/sparse_exact.py), the full HLL state
+-- sparse or dense -- is bit-identical to the host/reference path, so reports
+match byte for byte."""
 
 import io
 import os
@@ -16,25 +18,76 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_device_counters_vs_host():
+def _run_pair(**dev_kw):
     reads = os.path.join(DATA, "reads.fa")
     ka, kb = io.StringIO(), io.StringIO()
-
     ca = Classifier([DATA], ClassifyOptions(print_progress=False))
     ca.run([reads], kraken_fh=ka)
-    cb = Classifier([DATA], ClassifyOptions(print_progress=False, device_counters=True))
+    cb = Classifier(
+        [DATA], ClassifyOptions(print_progress=False, device_counters=True, **dev_kw)
+    )
     cb.run([reads], kraken_fh=kb)
+    return ca, ka, cb, kb
 
-    # kraken output identical (calls don't depend on the counter mode)
+
+def test_device_counters_bit_exact():
+    """Sparse tracking on (default): per-taxon HLL STATE equals the host
+    path's -- same mode, same sparse set / registers -- and the report is
+    byte-identical."""
+    ca, ka, cb, kb = _run_pair()
     assert ka.getvalue() == kb.getvalue()
 
+    host = ca.counter.counts
+    dev = cb.dev_counters.finalize(cb.taxonomy.taxids)
+    assert set(host) == set(dev)
+    saw_sparse = saw_dense = False
+    for taxid in host:
+        assert host[taxid].n_reads == dev[taxid].n_reads, taxid
+        assert host[taxid].n_kmers == dev[taxid].n_kmers, taxid
+        h, d = host[taxid].kmers, dev[taxid].kmers
+        if h is None or h.n_observed == 0:
+            assert d.n_observed == 0
+            continue
+        assert h.n_observed == d.n_observed, taxid
+        assert h.sparse == d.sparse, taxid
+        if h.sparse:
+            saw_sparse = True
+            np.testing.assert_array_equal(
+                np.sort(h.sparse_set), np.sort(d.sparse_set), err_msg=str(taxid)
+            )
+        else:
+            saw_dense = True
+            np.testing.assert_array_equal(h.M, d.M, err_msg=str(taxid))
+    assert saw_sparse, "fixture should exercise sparse-regime taxa"
+
+    ra, rb = io.StringIO(), io.StringIO()
+    ca.write_report(ra)
+    cb.write_report(rb)
+    assert ra.getvalue() == rb.getvalue()
+
+
+def test_device_counters_report_matches_golden():
+    """The fast mode reproduces the reference-built golden report exactly."""
+    c = Classifier([DATA], ClassifyOptions(print_progress=False, device_counters=True))
+    c.run([os.path.join(DATA, "reads.fa")])
+    rep = io.StringIO()
+    c.write_report(rep)
+    golden = open(os.path.join(DATA, "report.tsv")).read()
+    assert rep.getvalue() == golden
+
+
+def test_device_counters_approx_mode():
+    """sparse_cap=0 opts out of the sparse tracking: registers still match a
+    dense-converted host HLL (estimate-level compat, the pre-sparse-exact
+    behavior)."""
+    ca, ka, cb, kb = _run_pair(sparse_cap=0)
+    assert ka.getvalue() == kb.getvalue()
     host = ca.counter.counts
     dev = cb.dev_counters.finalize(cb.taxonomy.taxids)
     assert set(host) == set(dev)
     for taxid in host:
         assert host[taxid].n_reads == dev[taxid].n_reads, taxid
         assert host[taxid].n_kmers == dev[taxid].n_kmers, taxid
-        # register-level equality against a dense-converted host HLL
         h = host[taxid].kmers
         if h is None or h.n_observed == 0:
             assert dev[taxid].kmers.n_observed == 0
@@ -48,17 +101,13 @@ def test_device_counters_vs_host():
         np.testing.assert_array_equal(hd.M, dev[taxid].kmers.M, err_msg=str(taxid))
 
 
-def test_device_counters_report_sane():
-    c = Classifier([DATA], ClassifyOptions(print_progress=False, device_counters=True))
-    c.run([os.path.join(DATA, "reads.fa")])
-    rep = io.StringIO()
-    c.write_report(rep)
-    lines = rep.getvalue().splitlines()
-    assert lines[0].startswith("%\treads")
-    # reads/taxReads columns equal the golden report exactly
-    golden = open(os.path.join(DATA, "report.tsv")).read().splitlines()
-    assert len(lines) == len(golden)
-    for got, want in zip(lines[1:], golden[1:]):
-        g, w = got.split("\t"), want.split("\t")
-        assert g[1] == w[1] and g[2] == w[2], (got, want)  # reads, taxReads
-        assert g[6] == w[6]  # taxID
+def test_device_counters_overflow_fallback():
+    """A tiny sparse buffer forces the host-stats fallback for every span;
+    results stay bit-identical and the overflow is counted."""
+    ca, ka, cb, kb = _run_pair(sparse_cap=4)
+    assert ka.getvalue() == kb.getvalue()
+    assert cb.dev_counters.tracker.overflows > 0
+    ra, rb = io.StringIO(), io.StringIO()
+    ca.write_report(ra)
+    cb.write_report(rb)
+    assert ra.getvalue() == rb.getvalue()
