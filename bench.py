@@ -166,19 +166,28 @@ def main():
         np.asarray(fn())
         return (time.time() - t1) / n
 
+    # pass the table planes as ARGUMENTS: closing over them would bake the
+    # multi-GB table into the lowered program as a constant (slow compile +
+    # re-upload through the relay)
     @jax.jit
-    def ph_windows():
-        c, a = ds.unpack_input(codes_packed, ambig_packed)
+    def _ph_windows(cp, ap):
+        c, a = ds.unpack_input(cp, ap)
         canon = kops.canonical_representation(kops.pack_windows(c, k), k)
         return jnp.sum(ds.murmur3_finalizer_device(canon))
 
     @jax.jit
-    def ph_probe():
-        c, a = ds.unpack_input(codes_packed, ambig_packed)
+    def _ph_probe(planes, cp, ap):
+        c, a = ds.unpack_input(cp, ap)
         canon = kops.canonical_representation(kops.pack_windows(c, k), k)
         h = ds.murmur3_finalizer_device(canon)
-        val = hash_lookup_kmers(fused_planes, h, jnp.ones_like(h, bool), hash_lb)
+        val = hash_lookup_kmers(planes, h, jnp.ones_like(h, bool), hash_lb)
         return jnp.sum(val)
+
+    def ph_windows():
+        return _ph_windows(codes_packed, ambig_packed)
+
+    def ph_probe():
+        return _ph_probe(fused_planes, codes_packed, ambig_packed)
 
     rng = np.random.default_rng(0)
     pool = np.unique(np.asarray(db0.vals_dense))
@@ -187,9 +196,11 @@ def main():
     hitmask = jax.device_put(rng.random((batch, w)) < 0.8)
 
     @jax.jit
+    def _ph_resolve(tr, hm, t1, t2, t3):
+        return jnp.sum(resolve_reads(tr, hm, t1, t2, t3, root, cfg.max_depth))
+
     def ph_resolve():
-        return jnp.sum(resolve_reads(
-            taxa_rand, hitmask, *targs, root, cfg.max_depth))
+        return _ph_resolve(taxa_rand, hitmask, *targs)
 
     def ph_full():
         out = classify_step(

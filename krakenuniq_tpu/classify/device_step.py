@@ -118,6 +118,11 @@ class StepConfig:
     # span is re-dispatched on the wide layout by the host -- rare).
     local_dict: bool = False
     dict_capacity: int = 1 << 15  # must stay < 0xFFFF (the u16 sentinel)
+    # mesh data axis name (set by parallel/mesh.py). With local_dict, the
+    # per-shard dictionaries are all_gathered over this axis and merged into
+    # ONE span-global dictionary shared by every data shard, so the host
+    # sees the same lut/RLE contract as the single-chip path.
+    data_axis: str | None = None
     # restrict the returned dict to these keys (None = all). Every returned
     # array is a device buffer the dispatch must allocate and register
     # through the transport -- ~80ms/dispatch of overhead for the full
@@ -299,6 +304,26 @@ def classify_step_core(
                 .at[pos]
                 .set(jnp.where(is_first, s, pad), mode="drop")
             )
+            if cfg.data_axis is not None:
+                # mesh: merge the per-data-shard dictionaries into one
+                # span-global lut (identical on every shard) so RLE values
+                # and the hll feed agree across shard row ranges
+                g = jax.lax.all_gather(lut, cfg.data_axis)
+                s2 = jax.lax.sort(g.reshape(-1))
+                first2 = jnp.concatenate(
+                    [jnp.ones((1,), bool), s2[1:] != s2[:-1]]
+                ) & (s2 != pad)
+                ranks2 = jnp.cumsum(first2.astype(jnp.int32))
+                pos2 = jnp.where(first2, ranks2 - 1, jnp.int32(u_cap))
+                lut = (
+                    jnp.full((u_cap,), pad, jnp.int32)
+                    .at[pos2]
+                    .set(jnp.where(first2, s2, pad), mode="drop")
+                )
+                # overflow propagates: a shard whose LOCAL uniques exceeded
+                # the cap dropped ids before the merge, so report its count
+                n_u_local_max = jax.lax.pmax(n_u, cfg.data_axis)
+                n_u = jnp.maximum(ranks2[-1], n_u_local_max)
             local_taxa = jnp.searchsorted(lut, taxon_dense).astype(jnp.int32)
             pack_ids = local_taxa.astype(jnp.uint32)
             if not cfg.quick:

@@ -329,7 +329,10 @@ class Classifier:
         if self._cfg.max_runs > 0 and self.uid_map is None:
             if tax.size <= 0xFFFF:  # dense ids AND the u16 sentinel fit as-is
                 self._cfg = dataclasses.replace(self._cfg, dense_runs=True)
-            elif self.mesh is None:  # per-data-shard dicts not wired for mesh
+            else:
+                # per-span taxon dictionary; under a mesh the per-data-shard
+                # dictionaries are all_gathered into one span-global lut
+                # (device_step.py), so the host contract is unchanged
                 self._cfg = dataclasses.replace(
                     self._cfg,
                     dense_runs=True,
@@ -853,8 +856,10 @@ class Classifier:
             )
 
         def redispatch(cfg2):
-            # dictionary-overflow fallback: rerun this span on the wide
-            # layout (mesh never uses the local dict, so no mesh branch)
+            # fallback re-dispatch (dictionary overflow -> wide layout,
+            # sparse-buffer overflow -> full-feed stats cfg)
+            if self.mesh is not None:
+                return dict(self._sharded_alt(cfg2)(codes, ambig_arr, lengths))
             return classify_step(
                 self._db_planes,
                 self._taxid_table,
@@ -892,6 +897,22 @@ class Classifier:
             out["packed" if self._cfg.max_runs > 0 else "call"].copy_to_host_async()
         except (AttributeError, KeyError):
             pass
+
+    def _sharded_alt(self, cfg2: "StepConfig"):
+        """Lazily-compiled sharded program for a fallback config (wide
+        layout / sparse-stats refetch); cfg2 is frozen, so it keys a cache."""
+        fns = self.__dict__.setdefault("_sharded_alt_fns", {})
+        if cfg2 not in fns:
+            from ..parallel import make_sharded_classify_fn
+
+            fns[cfg2], _ = make_sharded_classify_fn(
+                self.mesh,
+                self._sharded_planes,
+                *self._mesh_common,
+                cfg2,
+                dev_planes=self._mesh_dev_planes,
+            )
+        return fns[cfg2]
 
     @staticmethod
     def _unit_id_rows(unit_bounds, b: int) -> np.ndarray:

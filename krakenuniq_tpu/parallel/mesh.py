@@ -61,6 +61,7 @@ def make_sharded_classify_fn(
         **{
             **cfg.__dict__,
             "db_axis": "db",
+            "data_axis": "data",
             "lookup_mode": "hash" if hash_mode else "bsearch",
             "hash_lbs": tuple(p.lb for p in planes_list) if hash_mode else (),
             "raw_dbs": (
@@ -135,6 +136,9 @@ def make_sharded_classify_fn(
             out_specs["hll_dense"] = P("data", None)
         else:
             out_specs["hll_pairs"] = P("data", None)
+        if cfg.local_dict and cfg.dense_runs:
+            # the merged span-global dictionary is identical on every shard
+            out_specs["lut"] = P()
     if cfg.outputs is not None:
         out_specs = {k: out_specs[k] for k in cfg.outputs}
 

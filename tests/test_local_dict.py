@@ -106,15 +106,43 @@ def test_dict_overflow_redispatch(big_tax_db):
 
 
 def test_device_counters_under_big_taxonomy(big_tax_db):
-    """--device-counters composes with the local dict (calls/read counts are
-    exact; unique-k-mer estimates are dense-register HLL by design)."""
+    """--device-counters composes with the local dict and stays bit-exact
+    (sparse-regime tracking works in global dense-id space)."""
     db, reads = big_tax_db
-    out0, _, c0 = _run(db, reads)
+    out0, rep0, c0 = _run(db, reads)
     if c0._cfg.max_runs == 0:
         pytest.skip("native extension unavailable")
-    out1, _, c1 = _run(db, reads, device_counters=True)
+    out1, rep1, c1 = _run(db, reads, device_counters=True)
     assert c1._cfg.local_dict
     assert out0 == out1
+    assert rep0 == rep1
+
+
+def test_mesh_under_big_taxonomy(big_tax_db):
+    """The compact (local-dict) layout now runs under a mesh: per-data-shard
+    dictionaries are all_gathered into one span-global lut (device_step.py).
+    Output and report must be byte-equal to the single-chip run."""
+    db, reads = big_tax_db
+    out0, rep0, c0 = _run(db, reads)
+    if c0._cfg.max_runs == 0:
+        pytest.skip("native extension unavailable")
+    out1, rep1, c1 = _run(db, reads, mesh_data=2, mesh_db=2)
+    assert c1.mesh is not None and c1._cfg.local_dict and c1._cfg.dense_runs
+    assert out0 == out1
+    assert rep0 == rep1
+
+
+def test_mesh_dict_overflow_redispatch(big_tax_db):
+    """Dictionary overflow under a mesh falls back to a sharded wide-layout
+    re-dispatch; output unchanged."""
+    db, reads = big_tax_db
+    out0, rep0, c0 = _run(db, reads)
+    if c0._cfg.max_runs == 0:
+        pytest.skip("native extension unavailable")
+    out1, rep1, c1 = _run(db, reads, mesh_data=2, mesh_db=2, dict_capacity=4)
+    assert c1.mesh is not None and c1._cfg.local_dict
+    assert out0 == out1
+    assert rep0 == rep1
 
 
 def test_ooc_under_big_taxonomy(big_tax_db):
