@@ -150,10 +150,12 @@ def main():
     # returned state each call or rep 2 would probe deleted buffers
     state = [reg0, kc0, rc0]
 
+    unit_ids = np.zeros(B, np.uint8)
+
     def ph_fused():
-        out, st = ds.classify_and_count(
+        out, st, _sp = ds.classify_and_count(
             *state, pool_maps, ((fused,),), taxid_table, *targs, root,
-            codes_packed, ambig_packed, lengths, np.int32(B), cfg, 12)
+            codes_packed, ambig_packed, lengths, np.int32(B), unit_ids, cfg, 12)
         state[:] = st
         sink["c"] = out
         return out["packed"]
