@@ -142,20 +142,17 @@ def main():
     w = lb_len - k + 1
     lanes = batch * w
 
-    cfg = ds.StepConfig(
-        k=k, nt=nt, n_iter=db0.search_iters, max_depth=tax.max_depth,
-        lookup_mode="hash", hash_lbs=(hash_lb,), max_runs=8,
-        packed_input=True,
-        dense_runs=True,
-        local_dict=tax.size > 0xFFFF,
-        outputs=(
-            ("packed", "taxa_dense", "ambig", "hll_enc", "hll_dense")
-            + (("lut",) if tax.size > 0xFFFF else ())
-        ),
+    # the classifier's own span config + id-space tables (value-pool mode
+    # when the DB's LCA closure fits u16 -- any real database)
+    cfg = c_exact._cfg_packed
+    taxid_table = c_exact._taxid_table
+    targs = (c_exact._tin, c_exact._tout, c_exact._parent)
+    root = c_exact._root_dense
+    print(
+        f"id space: {'pool' if c_exact._pool is not None else 'dense'}"
+        + (f" ({c_exact._pool.size} ids)" if c_exact._pool is not None else ""),
+        file=sys.stderr,
     )
-    taxid_table = jax.device_put(tax.taxids.astype(np.uint32))
-    targs = tuple(jax.device_put(x) for x in (tax.tin, tax.tout, tax.parent))
-    root = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
 
     def timeit(fn, n=max(2, reps // 2)):
         r = fn()
@@ -190,9 +187,11 @@ def main():
         return _ph_probe(fused_planes, codes_packed, ambig_packed)
 
     rng = np.random.default_rng(0)
-    pool = np.unique(np.asarray(db0.vals_dense))
+    vpool = np.unique(np.asarray(db0.vals_dense))
+    if c_exact._pool is not None:
+        vpool = c_exact._pool.pool_index(vpool)  # resolve runs in pool space
     taxa_rand = jax.device_put(
-        pool[rng.integers(0, len(pool), size=(batch, w))].astype(np.int32))
+        vpool[rng.integers(0, len(vpool), size=(batch, w))].astype(np.int32))
     hitmask = jax.device_put(rng.random((batch, w)) < 0.8)
 
     @jax.jit

@@ -110,10 +110,11 @@ class StepConfig:
     dense_runs: bool = False
     # True (with dense_runs): build a per-span taxon dictionary on device --
     # sort-unique of every dense id the span touched (hits + calls) -- and
-    # emit LOCAL ids in the RLE rows and the hll_dense feed. A span touches
-    # far fewer distinct taxa than a real taxonomy holds (NCBI is ~2.4M
-    # nodes, taxdb.hpp:460-488), so the u16 fast paths stay applicable at
-    # any taxonomy size. The dictionary itself returns as out["lut"]
+    # emit LOCAL ids in the RLE rows and the hll_dense feed. FALLBACK path:
+    # normally the load-time value pool (db/pool.py) is the global
+    # dictionary (u16 pool ids at any taxonomy size, no per-span remap);
+    # this engages only when the value closure exceeds u16.
+    # The dictionary itself returns as out["lut"]
     # (int32 [dict_capacity + 1], last element = #uniques; an overflowing
     # span is re-dispatched on the wide layout by the host -- rare).
     local_dict: bool = False

@@ -94,10 +94,15 @@ class ClassifyOptions:
     # on tail spans (measured best at 65536 with 32MB input chunks)
     device_batch_reads: int = 65536
     max_runs: int = 8  # device-side RLE run slots per read (even; overflow rows re-fetched)
-    # per-span taxon dictionary capacity (taxonomies > 65536 nodes); a span
-    # touching more distinct taxa than this is re-dispatched on the wide
-    # layout. 32768 is far above any observed span (reads share taxa).
+    # per-span taxon dictionary capacity (taxonomies > 65536 nodes AND no
+    # value pool); a span touching more distinct taxa than this is
+    # re-dispatched on the wide layout. 32768 is far above any observed span.
     dict_capacity: int = 1 << 15
+    # value pool (db/pool.py): index the device id space by the database's
+    # LCA-closed value set instead of the full taxonomy. On whenever the
+    # closure fits u16 (any real database); False forces dense taxonomy ids
+    # (+ the per-span local_dict above 65536 nodes) -- the fallback path.
+    value_pool: bool = True
     # multi-chip mesh: shard the database by minimizer range over mesh_db
     # devices and the read batch over mesh_data devices (mesh_data * mesh_db
     # <= len(jax.devices())). 1x1 = the single-chip path. Requires a single
@@ -180,10 +185,33 @@ class Classifier:
         if ps and self._estimate_table_bytes(uid_database) > ps:
             from ..db.chunked import load_chunked_db
 
+            pool_arg = "auto" if self.opts.value_pool else None
+            if len(self.db_dirs) > 1 and pool_arg == "auto" and not uid_database:
+                # one id space across the hierarchy (see the resident branch)
+                from ..db.device_db import compute_vals_dense
+                from ..db.pool import build_value_pool
+
+                vds = []
+                for d in self.db_dirs:
+                    _, _, v = read_kdb(os.path.join(d, "database.kdb"))
+                    vds.append(compute_vals_dense(v, self.taxonomy))
+                pool_arg = build_value_pool(vds, self.taxonomy)
             self._ooc = [
-                load_chunked_db(d, ps, self.taxonomy, uid_database=uid_database)
+                load_chunked_db(
+                    d, ps, self.taxonomy, uid_database=uid_database, pool=pool_arg
+                )
                 for d in self.db_dirs
             ]
+            if any(c.pool is None for c in self._ooc) and any(
+                c.pool is not None for c in self._ooc
+            ):
+                self._ooc = [
+                    load_chunked_db(
+                        d, ps, self.taxonomy, uid_database=uid_database, pool=None
+                    )
+                    for d in self.db_dirs
+                ]
+            self._pool = self._ooc[0].pool
             ks = {cdb.k for cdb in self._ooc}
             if len(ks) != 1:
                 raise ValueError(f"Different k-mer sizes in databases: {sorted(ks)}")
@@ -201,26 +229,50 @@ class Classifier:
             self._sharded_planes = []
             self._mesh_vals_dense: list = []  # per-DB host dense values (counts files)
             ks, nts, max_bins = set(), set(), []
+            loaded = []
             for d in self.db_dirs:
                 kdb_name = "uid_database.kdb" if uid_database else "database.kdb"
                 kdb_path = os.path.join(d, kdb_name)
-                taxdb_path = os.path.join(d, "taxDB")
                 hdr, h_keys, h_vals = read_kdb(kdb_path)
                 _idx_type, nt, h_offsets = read_index(os.path.join(d, "database.idx"))
-                h_vd = (
-                    np.zeros(len(h_vals), np.int32)
-                    if uid_database
-                    else self.taxonomy.dense_index(h_vals)
-                )
+                if uid_database:
+                    h_vd = np.zeros(len(h_vals), np.int32)
+                else:
+                    from ..db.device_db import compute_vals_dense
+
+                    h_vd = compute_vals_dense(h_vals, self.taxonomy)
                 self._mesh_vals_dense.append(None if uid_database else h_vd)
                 ks.add(hdr.k)
                 nts.add(nt)
                 max_bins.append(
                     int(np.diff(np.asarray(h_offsets, dtype=np.int64)).max())
                 )
+                loaded.append((d, kdb_path, h_keys, h_vals, h_vd, h_offsets))
+            # joint value pool across the hierarchy (one id space on device)
+            self._pool = None
+            if not uid_database and self.opts.value_pool:
+                from ..db.pool import build_value_pool
+
+                self._pool = build_value_pool(
+                    [h_vd for *_rest, h_vd, _o in loaded], self.taxonomy
+                )
+            pool_rows = None if self._pool is None else self._pool.rows
+            for d, kdb_path, h_keys, h_vals, h_vd, h_offsets in loaded:
+                taxdb_path = os.path.join(d, "taxDB")
+                table_vals = (
+                    self._pool.pool_index(h_vd) if self._pool is not None else h_vd
+                )
                 # shard-stacked tables get their own cache file per shard count
                 sht_path = f"{kdb_path}.ht{n_mdb}"
                 cached = load_ht_cache(sht_path, kdb_path, taxdb_path, uid_database)
+                if cached is not None and cached[2] and "bounds" in cached[2]:
+                    extra = cached[2]
+                    c_rows = extra.get("pool_rows")
+                    if (c_rows is None) != (pool_rows is None) or (
+                        pool_rows is not None
+                        and not np.array_equal(np.asarray(c_rows), pool_rows)
+                    ):
+                        cached = None  # value-space mismatch: rebuild
                 if cached is not None and cached[2] and "bounds" in cached[2]:
                     planes_host, lb, extra = cached
                     sp = ShardedHashPlanes(
@@ -232,15 +284,19 @@ class Classifier:
                 else:
                     sink: list = []
                     sp = shard_hash_tables(
-                        h_keys, h_vals, h_vd, np.asarray(h_offsets), n_mdb,
+                        h_keys, h_vals, table_vals, np.asarray(h_offsets), n_mdb,
                         hash_sink=sink, store_raw=uid_database,
                     )
                     host_stacks, lb, bounds = sink[0]
+                    extra = {"bounds": [list(b) for b in bounds]}
+                    if pool_rows is not None:
+                        extra["pool_rows"] = pool_rows
                     save_ht_cache(
                         sht_path, host_stacks, lb, kdb_path, taxdb_path, uid_database,
-                        extra={"bounds": [list(b) for b in bounds]},
+                        extra=extra,
                     )
                 self._sharded_planes.append(sp)
+            del loaded
             if len(ks) != 1:
                 raise ValueError(f"Different k-mer sizes in databases: {sorted(ks)}")
             if len(nts) != 1:
@@ -253,9 +309,37 @@ class Classifier:
             )
         else:
             self.dbs: list[DeviceDB] = []
+            pool_arg = "auto" if self.opts.value_pool else None
+            if len(self.db_dirs) > 1 and pool_arg == "auto" and not uid_database:
+                # hierarchical lookups merge into ONE taxon plane
+                # (classify.cpp:927-936), so every database's table must
+                # speak the same id space: a joint pool over all value sets
+                from ..db.device_db import compute_vals_dense
+                from ..db.pool import build_value_pool
+
+                vds = []
+                for d in self.db_dirs:
+                    _, _, v = read_kdb(os.path.join(d, "database.kdb"))
+                    vds.append(compute_vals_dense(v, self.taxonomy))
+                pool_arg = build_value_pool(vds, self.taxonomy)  # None if > u16
             for d in self.db_dirs:
-                db, _ = load_database_dir(d, taxonomy=self.taxonomy, uid_database=uid_database)
+                db, _ = load_database_dir(
+                    d, taxonomy=self.taxonomy, uid_database=uid_database,
+                    pool=pool_arg,
+                )
                 self.dbs.append(db)
+            if any(db.pool is None for db in self.dbs) and any(
+                db.pool is not None for db in self.dbs
+            ):
+                # a bsearch fallback dropped one DB's pool; mixed id spaces
+                # are invalid -- reload everything dense (rare failure path)
+                self.dbs = [
+                    load_database_dir(
+                        d, taxonomy=self.taxonomy, uid_database=uid_database,
+                        pool=None,
+                    )[0]
+                    for d in self.db_dirs
+                ]
             ks = {db.k for db in self.dbs}
             if len(ks) != 1:
                 raise ValueError(f"Different k-mer sizes in databases: {sorted(ks)}")
@@ -264,14 +348,33 @@ class Classifier:
             if len(nts) != 1:
                 raise ValueError(f"Different minimizer sizes in databases: {sorted(nts)}")
             self.nt = self.dbs[0].nt
+            self._pool = self.dbs[0].pool
 
         tax = self.taxonomy
-        self._taxids_host = np.ascontiguousarray(tax.taxids, dtype=np.uint32)
-        self._taxid_table = jax.device_put(tax.taxids.astype(np.uint32))
-        self._tin = jax.device_put(tax.tin)
-        self._tout = jax.device_put(tax.tout)
-        self._parent = jax.device_put(tax.parent)
-        self._root_dense = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
+        pool = getattr(self, "_pool", None)
+        self._pool = pool
+        if pool is not None:
+            # pool mode: the device id space is the database's LCA-closed
+            # value set (db/pool.py) -- resolve tables are [P]-sized, RLE
+            # rows and the HLL feed carry u16 pool ids at any taxonomy size,
+            # and the tie-LCA walk runs on the closure parent chain
+            self._taxids_host = np.ascontiguousarray(pool.taxids, dtype=np.uint32)
+            self._taxid_table = jax.device_put(pool.taxids)
+            self._tin = jax.device_put(pool.tin)
+            self._tout = jax.device_put(pool.tout)
+            self._parent = jax.device_put(pool.parent)
+            self._root_dense = np.int32(pool.root)
+            step_depth = pool.max_depth
+        else:
+            self._taxids_host = np.ascontiguousarray(tax.taxids, dtype=np.uint32)
+            self._taxid_table = jax.device_put(tax.taxids.astype(np.uint32))
+            self._tin = jax.device_put(tax.tin)
+            self._tout = jax.device_put(tax.tout)
+            self._parent = jax.device_put(tax.parent)
+            self._root_dense = np.int32(
+                tax.dense_index(np.asarray([1], dtype=np.uint32))[0]
+            )
+            step_depth = tax.max_depth
         if self._ooc is not None:
             use_hash = False
             lookup_mode = "acc"
@@ -307,7 +410,7 @@ class Classifier:
                 if self.mesh is not None
                 else max(db.search_iters for db in self.dbs)
             ),
-            max_depth=tax.max_depth,
+            max_depth=step_depth,
             hll_p=effective_p,
             quick=self.opts.quick,
             min_hits=self.opts.min_hits,
@@ -327,7 +430,8 @@ class Classifier:
         # past 65536 nodes (the real NCBI taxDB is ~2.4M) keep the compact
         # layout through a per-span local taxon dictionary (device_step.py).
         if self._cfg.max_runs > 0 and self.uid_map is None:
-            if tax.size <= 0xFFFF:  # dense ids AND the u16 sentinel fit as-is
+            if pool is not None or tax.size <= 0xFFFF:
+                # pool ids / dense ids AND the u16 sentinel fit as-is
                 self._cfg = dataclasses.replace(self._cfg, dense_runs=True)
             else:
                 # per-span taxon dictionary; under a mesh the per-data-shard
@@ -394,13 +498,24 @@ class Classifier:
         if self.mesh is not None:
             from ..parallel import make_sharded_classify_fn
 
-            self._mesh_common = (
-                tax.taxids.astype(np.uint32),
-                tax.tin,
-                tax.tout,
-                tax.parent,
-                self._root_dense,
-            )
+            # id-space tables for the sharded program: pool arrays when the
+            # value pool engaged (the host-side copies of _taxid_table etc.)
+            if self._pool is not None:
+                self._mesh_common = (
+                    self._pool.taxids,
+                    self._pool.tin,
+                    self._pool.tout,
+                    self._pool.parent,
+                    self._root_dense,
+                )
+            else:
+                self._mesh_common = (
+                    tax.taxids.astype(np.uint32),
+                    tax.tin,
+                    tax.tout,
+                    tax.parent,
+                    self._root_dense,
+                )
             self._sharded_fn_packed, self._mesh_dev_planes = make_sharded_classify_fn(
                 self.mesh, self._sharded_planes, *self._mesh_common, self._cfg_packed
             )
@@ -417,29 +532,39 @@ class Classifier:
             if self.opts.exact or uid_database:
                 raise ValueError("--device-counters is incompatible with --exact/--uid-mapping")
             from .device_counters import DeviceCounters
-
-            # registers only ever accumulate under DB values; pool them so
-            # the plane scales with the database's value set, not the
-            # taxonomy (a 2.4M-node taxDB would otherwise cost 10GB of HBM)
-            if self._ooc is not None:
-                vds = [c.vals_dense for c in self._ooc]
-            elif self.mesh is not None:
-                vds = self._mesh_vals_dense
-            else:
-                vds = [np.asarray(db.vals_dense) for db in self.dbs]
-            pool = np.unique(np.concatenate([np.unique(v) for v in vds if v is not None]))
             from .sparse_exact import TAXON_BITS
 
             sparse_cap = self.opts.sparse_cap
-            if sparse_cap > 0 and tax.size >= (1 << TAXON_BITS):
-                raise ValueError(
-                    f"--device-counters sparse-exact tracking supports "
-                    f"taxonomies under 2^{TAXON_BITS} nodes (got {tax.size}); "
-                    f"set sparse_cap=0 for estimate-level compat"
+            if pool is not None:
+                # pool mode: the device id space IS the value closure --
+                # registers and counters are pool-width, the remap is the
+                # identity, and bincounts run at length P instead of T
+                self.dev_counters = DeviceCounters(
+                    pool.size, effective_p, sparse_cap=sparse_cap
                 )
-            self.dev_counters = DeviceCounters(
-                tax.size, effective_p, pool_dense=pool, sparse_cap=sparse_cap
-            )
+            else:
+                # registers only ever accumulate under DB values; restrict
+                # the plane to the value set so it scales with the database,
+                # not the taxonomy (a 2.4M-node taxDB would otherwise cost
+                # 10GB of HBM)
+                if self._ooc is not None:
+                    vds = [c.vals_dense for c in self._ooc]
+                elif self.mesh is not None:
+                    vds = self._mesh_vals_dense
+                else:
+                    vds = [np.asarray(db.vals_dense) for db in self.dbs]
+                reg_pool = np.unique(
+                    np.concatenate([np.unique(v) for v in vds if v is not None])
+                )
+                if sparse_cap > 0 and tax.size >= (1 << TAXON_BITS):
+                    raise ValueError(
+                        f"--device-counters sparse-exact tracking supports "
+                        f"taxonomies under 2^{TAXON_BITS} nodes (got {tax.size}); "
+                        f"set sparse_cap=0 for estimate-level compat"
+                    )
+                self.dev_counters = DeviceCounters(
+                    tax.size, effective_p, pool_dense=reg_pool, sparse_cap=sparse_cap
+                )
         self.total_sequences = 0
         self.total_bases = 0
         self.total_classified = 0
@@ -456,13 +581,17 @@ class Classifier:
         """Resident-table HBM estimate across databases, from the kdb headers
         alone (dense values are bounded by the taxonomy size)."""
         from ..db.chunked import table_bytes
+        from ..db.pool import POOL_CAP
         from ..formats.kdb import read_header
 
+        max_val = self.taxonomy.size - 1
+        if self.opts.value_pool and not uid_database:
+            max_val = min(max_val, POOL_CAP)  # pool mode narrows the value field
         total = 0
         for d in self.db_dirs:
             name = "uid_database.kdb" if uid_database else "database.kdb"
             hdr = read_header(os.path.join(d, name))
-            total += table_bytes(hdr.key_ct, self.taxonomy.size - 1, uid_database)
+            total += table_bytes(hdr.key_ct, max_val, uid_database)
         return total
 
     def _probe_cfg(self, db_i: int, packed: bool) -> "StepConfig":
@@ -1506,7 +1635,9 @@ class Classifier:
         self.ensure_counts_files()
         counts = self.counter.counts
         if self.dev_counters is not None:
-            dev_counts = self.dev_counters.finalize(self.taxonomy.taxids)
+            # _taxids_host is the device-id -> taxid map for the id space in
+            # play (pool taxids in pool mode, the full taxonomy otherwise)
+            dev_counts = self.dev_counters.finalize(self._taxids_host)
             # long reads (chunked on host) accumulated in self.counter;
             # ReadCounts.iadd handles the sparse-into-dense HLL merge
             for tid, rc in counts.items():

@@ -120,6 +120,7 @@ class ChunkedHashDB:
     store_raw: bool
     key_ct: int
     vals_dense: np.ndarray | None  # host dense values (counts-file generation)
+    pool: object | None = None  # ValuePool when chunk value words are pool ids
 
     @property
     def n_chunks(self) -> int:
@@ -199,11 +200,16 @@ def load_chunked_db(
     budget_bytes: int,
     taxonomy,
     uid_database: bool = False,
+    pool="auto",
 ) -> ChunkedHashDB:
     """Load a reference-layout DB dir as a chunked (out-of-core) table set,
-    with an on-disk cache of the built chunk planes (`<kdb>.htc`)."""
+    with an on-disk cache of the built chunk planes (`<kdb>.htc`). `pool`:
+    "auto" builds the database's own value pool (db/pool.py), a ValuePool
+    shares a joint id space (hierarchical multi-DB), None stores dense ids."""
     from ..formats import read_index, read_kdb
+    from .device_db import compute_vals_dense
     from .ht_cache import load_ht_cache, save_ht_cache
+    from .pool import build_value_pool
 
     db_dir = os.fspath(db_dir)
     kdb_name = "uid_database.kdb" if uid_database else "database.kdb"
@@ -212,14 +218,26 @@ def load_chunked_db(
     hdr, keys, vals = read_kdb(kdb_path)
     _idx_type, nt, offsets = read_index(os.path.join(db_dir, "database.idx"))
     vals_dense = (
-        np.zeros(len(vals), np.int32) if uid_database else taxonomy.dense_index(vals)
+        np.zeros(len(vals), np.int32)
+        if uid_database
+        else compute_vals_dense(vals, taxonomy)
     )
+    if uid_database:
+        pool = None
+    elif pool == "auto":
+        pool = build_value_pool([vals_dense], taxonomy)
+    table_vals = pool.pool_index(vals_dense) if pool is not None else vals_dense
+    pool_rows = None if pool is None else pool.rows
 
     htc_path = kdb_path + ".htc"
     cached = load_ht_cache(htc_path, kdb_path, taxdb_path, uid_database)
     if cached is not None:
         planes, lb, extra = cached
-        if extra and extra.get("budget") == budget_bytes:
+        c_rows = (extra or {}).get("pool_rows")
+        space_ok = (c_rows is None) == (pool_rows is None) and (
+            pool_rows is None or np.array_equal(np.asarray(c_rows), pool_rows)
+        )
+        if extra and extra.get("budget") == budget_bytes and space_ok:
             per = 2 if uid_database else 1
             chunk_planes = [
                 tuple(planes[i * per : (i + 1) * per])
@@ -234,17 +252,21 @@ def load_chunked_db(
                 store_raw=uid_database,
                 key_ct=len(keys),
                 vals_dense=None if uid_database else vals_dense,
+                pool=pool,
             )
 
     cdb = build_chunked_db(
-        keys, vals, vals_dense, offsets, budget_bytes, hdr.k, nt,
+        keys, vals, table_vals, offsets, budget_bytes, hdr.k, nt,
         store_raw=uid_database,
     )
     cdb.vals_dense = None if uid_database else vals_dense
+    cdb.pool = pool
     flat = tuple(p for planes in cdb.chunk_planes for p in planes)
+    extra = {"budget": budget_bytes, "bounds": [list(b) for b in cdb.bounds]}
+    if pool_rows is not None:
+        extra["pool_rows"] = pool_rows
     save_ht_cache(
-        htc_path, flat, cdb.lb, kdb_path, taxdb_path, uid_database,
-        extra={"budget": budget_bytes, "bounds": [list(b) for b in cdb.bounds]},
+        htc_path, flat, cdb.lb, kdb_path, taxdb_path, uid_database, extra=extra
     )
     print(
         f"out-of-core: {kdb_name} split into {cdb.n_chunks} chunk tables of "

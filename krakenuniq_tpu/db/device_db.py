@@ -25,6 +25,7 @@ import numpy as np
 from ..formats import read_kdb, read_index
 from ..taxonomy import Taxonomy
 from .hash_table import build_hash_table
+from .pool import ValuePool, build_value_pool
 
 
 @dataclasses.dataclass
@@ -49,6 +50,10 @@ class DeviceDB:
     hash_table: tuple | None = None
     hash_lb: int = 0
     store_raw: bool = False  # hash value word = raw DB value (UID databases)
+    # LCA-closed value dictionary (db/pool.py): when set, the hash table's
+    # value words are POOL ids and the classify step runs entirely in pool
+    # space (resolve tables, RLE rows, HLL feed); None = dense taxonomy ids
+    pool: ValuePool | None = None
 
     @property
     def n_bins(self) -> int:
@@ -57,6 +62,21 @@ class DeviceDB:
     @property
     def search_iters(self) -> int:
         return max(1, int(np.ceil(np.log2(self.max_bin + 1))) + 1)
+
+
+def compute_vals_dense(vals: np.ndarray, taxonomy: Taxonomy) -> np.ndarray:
+    """Dense-index the value column, warning on taxa the taxonomy lacks."""
+    vals_dense = taxonomy.dense_index(vals)
+    unknown = (vals_dense == 0) & (vals != 0)
+    if unknown.any():
+        import sys
+
+        print(
+            f"warning: {int(unknown.sum())} DB values reference taxa missing "
+            f"from the taxonomy (treated as unclassified)",
+            file=sys.stderr,
+        )
+    return vals_dense
 
 
 def _device_put_planes(keys, vals, vals_dense, offsets, device=None):
@@ -77,30 +97,29 @@ def build_device_db(
     store_raw: bool = False,
     cached_hash: tuple | None = None,  # (host_planes, lb) from ht_cache
     hash_sink: list | None = None,  # appended with (host_planes, lb) on build
+    pool: ValuePool | str | None = "auto",  # "auto" = build own; None = dense ids
+    vals_dense: np.ndarray | None = None,  # precomputed dense values (cache paths)
 ) -> DeviceDB:
     offsets = np.asarray(offsets, dtype=np.int64)
     bin_sizes = np.diff(offsets)
     max_bin = int(bin_sizes.max()) if len(bin_sizes) else 0
-    if store_raw:
+    if vals_dense is not None:
+        pass
+    elif store_raw:
         # UID databases: values are set ids, not taxids -- no dense mapping
         vals_dense = np.zeros(len(vals), dtype=np.int32)
     elif taxonomy is not None:
-        vals_dense = taxonomy.dense_index(vals)
-        unknown = (vals_dense == 0) & (vals != 0)
-        if unknown.any():
-            n_unknown = int(unknown.sum())
-            import sys
-
-            print(
-                f"warning: {n_unknown} DB values reference taxa missing from the "
-                f"taxonomy (treated as unclassified)",
-                file=sys.stderr,
-            )
+        vals_dense = compute_vals_dense(vals, taxonomy)
     else:
         vals_dense = np.zeros(len(vals), dtype=np.int32)
     keys = np.ascontiguousarray(keys, dtype=np.uint64)
     vals = np.ascontiguousarray(vals, dtype=np.uint32)
     vals_dense = np.ascontiguousarray(vals_dense, dtype=np.int32)
+    if store_raw or not use_hash or taxonomy is None:
+        pool = None
+    elif pool == "auto":
+        pool = build_value_pool([vals_dense], taxonomy)  # None if > u16
+    table_vals = pool.pool_index(vals_dense) if pool is not None else vals_dense
     htable, hlb = (None, 0)
     if use_hash:
         if cached_hash is not None:
@@ -111,7 +130,7 @@ def build_device_db(
 
             try:
                 htable, hlb, host_planes = build_hash_table(
-                    keys, vals, vals_dense, store_raw=store_raw, keep_host=True
+                    keys, vals, table_vals, store_raw=store_raw, keep_host=True
                 )
             except HashBuildError as e:
                 # never hard-fail on valid input: the bsearch planes answer
@@ -125,6 +144,7 @@ def build_device_db(
                     file=sys.stderr,
                 )
                 use_hash = False
+                pool = None  # bsearch planes answer in dense-id space
             else:
                 if device is not None:
                     htable = tuple(jax.device_put(p, device) for p in host_planes)
@@ -149,6 +169,7 @@ def build_device_db(
         hash_table=htable,
         hash_lb=hlb,
         store_raw=store_raw,
+        pool=pool if htable is not None else None,
     )
 
 
@@ -157,11 +178,14 @@ def load_database_dir(
     taxonomy: Taxonomy | None = None,
     uid_database: bool = False,
     device=None,
+    pool: ValuePool | str | None = "auto",
 ) -> tuple[DeviceDB, Taxonomy]:
     """Load a reference-layout database directory onto the device.
 
     Expects `database.kdb` (or `uid_database.kdb`), `database.idx`, `taxDB`
-    (scripts/krakenuniq:135-138, 199)."""
+    (scripts/krakenuniq:135-138, 199). `pool`: "auto" builds this database's
+    own value pool (db/pool.py); a ValuePool instance shares one id space
+    across hierarchical databases; None disables pooled values."""
     from .ht_cache import load_ht_cache, save_ht_cache
 
     db_dir = os.fspath(db_dir)
@@ -172,19 +196,43 @@ def load_database_dir(
     kdb_path = os.path.join(db_dir, kdb_name)
     hdr, keys, vals = read_kdb(kdb_path)
     idx_type, nt, offsets = read_index(os.path.join(db_dir, "database.idx"))
-    # dense values depend on the taxonomy, so the cache is keyed on both
-    # files; UID tables store raw values but keep the same dependency key
-    # (a changed taxDB means a rebuilt DB dir in practice)
+    vals_dense = (
+        np.zeros(len(vals), np.int32)
+        if uid_database
+        else compute_vals_dense(vals, taxonomy)
+    )
+    if uid_database:
+        pool = None
+    elif pool == "auto":
+        pool = build_value_pool([vals_dense], taxonomy)
+    # dense/pool values depend on the taxonomy, so the cache is keyed on both
+    # files; the cached table's value space (pool rows) must equal the pool
+    # in use -- a multi-DB joint pool differs from the single-DB one
     ht_path = kdb_path + ".ht"
     cached = load_ht_cache(ht_path, kdb_path, taxdb_path, uid_database)
     if cached is not None:
-        cached = cached[:2]  # (host_planes, lb); no extra meta on this path
+        extra = cached[2] or {}
+        cached_rows = extra.get("pool_rows")
+        want_rows = None if pool is None else pool.rows
+        if (cached_rows is None) != (want_rows is None) or (
+            want_rows is not None
+            and not np.array_equal(np.asarray(cached_rows), want_rows)
+        ):
+            cached = None  # value-space mismatch: rebuild
+        else:
+            cached = cached[:2]
     sink: list = []
     db = build_device_db(
         keys, vals, offsets, k=hdr.k, nt=nt, taxonomy=taxonomy, idx_type=idx_type,
         device=device, store_raw=uid_database, cached_hash=cached, hash_sink=sink,
+        pool=pool, vals_dense=vals_dense,
     )
     if cached is None and sink:
         host_planes, hlb = sink[0]
-        save_ht_cache(ht_path, host_planes, hlb, kdb_path, taxdb_path, uid_database)
+        save_ht_cache(
+            ht_path, host_planes, hlb, kdb_path, taxdb_path, uid_database,
+            extra=(
+                {"pool_rows": db.pool.rows} if db.pool is not None else None
+            ),
+        )
     return db, taxonomy

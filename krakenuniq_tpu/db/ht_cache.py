@@ -25,7 +25,7 @@ import os
 
 import numpy as np
 
-_VERSION = 3  # bump when the plane layout changes
+_VERSION = 4  # bump when the plane layout or value space changes
 
 
 def _dep_stat(path: str):
@@ -58,9 +58,18 @@ def save_ht_cache(
     extra=None,
 ) -> None:
     """Atomic write; failures (read-only DB dirs) are non-fatal. `extra` is
-    json-able side metadata (e.g. shard bounds) returned verbatim on load."""
+    side metadata (e.g. shard bounds, the value-pool rows) returned verbatim
+    on load; numpy-array values are stored as npz arrays, the rest as json."""
+    extra_arrays = {}
+    if extra:
+        extra = dict(extra)
+        for k in list(extra):
+            if isinstance(extra[k], np.ndarray):
+                extra_arrays[f"x_{k}"] = extra.pop(k)
+        extra = extra or None
     meta = _meta(kdb_path, taxdb_path, lb, store_raw, extra)
     arrays = {f"p{i}": np.asarray(p) for i, p in enumerate(host_planes)}
+    arrays.update(extra_arrays)
     tmp = ht_path + ".tmp"
     try:
         with open(tmp, "wb") as fh:
@@ -92,6 +101,11 @@ def load_ht_cache(
             i += 1
         if not planes:
             return None
+        x_keys = [k for k in z.files if k.startswith("x_")]
+        if x_keys:
+            extra = dict(extra or {})
+            for k in x_keys:
+                extra[k[2:]] = z[k]
         return tuple(planes), int(meta["lb"]), extra
     except Exception:
         return None

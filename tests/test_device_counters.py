@@ -38,7 +38,7 @@ def test_device_counters_bit_exact():
     assert ka.getvalue() == kb.getvalue()
 
     host = ca.counter.counts
-    dev = cb.dev_counters.finalize(cb.taxonomy.taxids)
+    dev = cb.dev_counters.finalize(cb._taxids_host)
     assert set(host) == set(dev)
     saw_sparse = saw_dense = False
     for taxid in host:
@@ -83,7 +83,7 @@ def test_device_counters_approx_mode():
     ca, ka, cb, kb = _run_pair(sparse_cap=0)
     assert ka.getvalue() == kb.getvalue()
     host = ca.counter.counts
-    dev = cb.dev_counters.finalize(cb.taxonomy.taxids)
+    dev = cb.dev_counters.finalize(cb._taxids_host)
     assert set(host) == set(dev)
     for taxid in host:
         assert host[taxid].n_reads == dev[taxid].n_reads, taxid

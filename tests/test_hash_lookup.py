@@ -127,10 +127,19 @@ def test_matches_bsearch_on_golden():
     )
     h = murmur3_finalizer(np.asarray(canon))
     w = np.asarray(hash_lookup_kmers(db.hash_table, h, valid, db.hash_lb))
-    np.testing.assert_array_equal(np.asarray(td1), w.astype(np.int32))
-    np.testing.assert_array_equal(
-        np.asarray(t1), tax.taxids.astype(np.uint32)[w]
-    )
+    # hash words are POOL ids when the value pool engaged (db/pool.py)
+    if db.pool is not None:
+        np.testing.assert_array_equal(
+            np.asarray(td1), db.pool.rows[w].astype(np.int32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t1), db.pool.taxids.astype(np.uint32)[w]
+        )
+    else:
+        np.testing.assert_array_equal(np.asarray(td1), w.astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(t1), tax.taxids.astype(np.uint32)[w]
+        )
 
 
 def test_ht_disk_cache(tmp_path):

@@ -55,6 +55,9 @@ def big_tax_db(tmp_path_factory):
 def _run(db, reads, **kw):
     from krakenuniq_tpu.classify import Classifier, ClassifyOptions
 
+    # these tests exercise the per-span dictionary FALLBACK, which only
+    # engages when the value pool (db/pool.py) is disabled
+    kw.setdefault("value_pool", False)
     c = Classifier([db], ClassifyOptions(print_progress=False, **kw))
     out, rep = io.StringIO(), io.StringIO()
     c.run([reads], kraken_fh=out)

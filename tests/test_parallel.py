@@ -83,23 +83,35 @@ def test_hash_sharded_equals_single(n_data, n_db):
     db, tax = load_database_dir(DATA)
     reads = [d.seq for d in read_sequences(os.path.join(DATA, "reads.fa"))][:64]
     enc = encode_batch(reads, lb=256, batch=64)
+    # match the table's id space: pool arrays when the value pool engaged
+    if db.pool is not None:
+        idmap = db.pool.taxids.astype(np.uint32)
+        tin, tout, parent = db.pool.tin, db.pool.tout, db.pool.parent
+        root = np.int32(db.pool.root)
+        depth = db.pool.max_depth
+        table_vals = db.pool.pool_index(np.asarray(db.vals_dense))
+    else:
+        idmap = tax.taxids.astype(np.uint32)
+        tin, tout, parent = tax.tin, tax.tout, tax.parent
+        root = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
+        depth = tax.max_depth
+        table_vals = np.asarray(db.vals_dense)
     cfg = StepConfig(
-        k=db.k, nt=db.nt, n_iter=db.search_iters, max_depth=tax.max_depth,
+        k=db.k, nt=db.nt, n_iter=db.search_iters, max_depth=depth,
         lookup_mode="hash", hash_lbs=(db.hash_lb,),
     )
-    root = np.int32(tax.dense_index(np.asarray([1], dtype=np.uint32))[0])
     single = classify_step(
         (db.hash_table,),
-        tax.taxids.astype(np.uint32), tax.tin, tax.tout, tax.parent, root,
+        idmap, tin, tout, parent, root,
         enc.codes, enc.ambig, enc.lengths, cfg,
     )
     planes = shard_hash_tables(
-        np.asarray(db.keys), np.asarray(db.vals), np.asarray(db.vals_dense),
+        np.asarray(db.keys), np.asarray(db.vals), table_vals,
         np.asarray(db.offsets), n_db,
     )
     mesh = make_mesh(n_data, n_db)
     fn, _ = make_sharded_classify_fn(
-        mesh, planes, tax.taxids.astype(np.uint32), tax.tin, tax.tout, tax.parent, root, cfg
+        mesh, planes, idmap, tin, tout, parent, root, cfg
     )
     sharded = fn(enc.codes, enc.ambig, enc.lengths)
     for key in ("taxa", "ambig", "call", "hits", "enc", "hll_lanes"):

@@ -33,11 +33,13 @@ B, LBLEN = 65536, 160
 
 
 def timeit(fn, *a, n=5):
-    r = jax.block_until_ready(fn(*a))
+    # fetch-sync: the remote transport's block_until_ready acks at dispatch,
+    # not completion; all fns return scalars, so np.asarray is the barrier
+    np.asarray(fn(*a))
     t0 = time.time()
-    for _ in range(n):
-        r = fn(*a)
-    jax.block_until_ready(r)
+    for _ in range(n - 1):
+        fn(*a)
+    np.asarray(fn(*a))
     return (time.time() - t0) / n * 1e3
 
 
