@@ -17,11 +17,15 @@ New candidates tried here (jax 0.9 API):
 Usage: python tools/probe_emitter_exp.py  (needs the TPU; ~1 min)
 """
 
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from krakenuniq_tpu.classify import device_step as ds
 from krakenuniq_tpu.kmer import ops as kops
