@@ -159,9 +159,15 @@ class Classifier:
         db_dirs: list[str],
         options: ClassifyOptions | None = None,
         uid_database: bool = False,
+        _shared: "Classifier | None" = None,
     ):
         self.opts = options or ClassifyOptions()
         self.db_dirs = [os.fspath(d) for d in db_dirs]
+        self._uid_database = uid_database
+        if _shared is not None:
+            self._adopt_loaded(_shared)
+            self._configure()
+            return
         self.taxonomy = Taxonomy.from_taxdb_file(os.path.join(self.db_dirs[0], "taxDB"))
         self.uid_map = None
         if uid_database:
@@ -349,7 +355,40 @@ class Classifier:
                 raise ValueError(f"Different minimizer sizes in databases: {sorted(nts)}")
             self.nt = self.dbs[0].nt
             self._pool = self.dbs[0].pool
+        self._configure()
 
+    @classmethod
+    def with_shared_db(
+        cls, other: "Classifier", options: ClassifyOptions
+    ) -> "Classifier":
+        """A new Classifier reusing `other`'s loaded database state (host
+        arrays AND the uploaded device planes) under different run options.
+        The device tables are multi-GB at reference scale -- sharing them is
+        the difference between an option swap and a ~90s reload."""
+        if (options.mesh_data * options.mesh_db > 1) != (other.mesh is not None):
+            raise ValueError("cannot share DB state across mesh configurations")
+        if bool(options.preload_size) and other._ooc is None and other.dbs:
+            raise ValueError("cannot share resident DB state into out-of-core mode")
+        return cls(other.db_dirs, options, other._uid_database, _shared=other)
+
+    def _adopt_loaded(self, other: "Classifier") -> None:
+        for name in (
+            "taxonomy", "uid_map", "mesh", "_sharded_planes", "_ooc", "dbs",
+            "k", "nt", "_pool", "_mesh_vals_dense", "_mesh_n_iter",
+            "_mesh_common", "_mesh_dev_planes",
+        ):
+            if hasattr(other, name):
+                setattr(self, name, getattr(other, name))
+
+    def reset_counters(self) -> None:
+        """Zero all accumulation state so the same loaded Classifier can run
+        another input from scratch (bench warm passes)."""
+        self._init_counters()
+        self.total_sequences = 0
+        self.total_bases = 0
+        self.total_classified = 0
+
+    def _configure(self) -> None:
         tax = self.taxonomy
         pool = getattr(self, "_pool", None)
         self._pool = pool
@@ -517,7 +556,11 @@ class Classifier:
                     self._root_dense,
                 )
             self._sharded_fn_packed, self._mesh_dev_planes = make_sharded_classify_fn(
-                self.mesh, self._sharded_planes, *self._mesh_common, self._cfg_packed
+                self.mesh,
+                self._sharded_planes,
+                *self._mesh_common,
+                self._cfg_packed,
+                dev_planes=getattr(self, "_mesh_dev_planes", None),
             )
             self._sharded_fn, _ = make_sharded_classify_fn(
                 self.mesh,
@@ -526,10 +569,19 @@ class Classifier:
                 self._cfg,
                 dev_planes=self._mesh_dev_planes,
             )
+        self._effective_p = effective_p
+        self._init_counters()
+        self.total_sequences = 0
+        self.total_bases = 0
+        self.total_classified = 0
+
+    def _init_counters(self) -> None:
+        effective_p = self._effective_p
+        pool, tax = self._pool, self.taxonomy
         self.counter = TaxonCounter(effective_p, exact=self.opts.exact)
         self.dev_counters = None
         if self.opts.device_counters:
-            if self.opts.exact or uid_database:
+            if self.opts.exact or self._uid_database:
                 raise ValueError("--device-counters is incompatible with --exact/--uid-mapping")
             from .device_counters import DeviceCounters
             from .sparse_exact import TAXON_BITS
@@ -565,9 +617,6 @@ class Classifier:
                 self.dev_counters = DeviceCounters(
                     tax.size, effective_p, pool_dense=reg_pool, sparse_cap=sparse_cap
                 )
-        self.total_sequences = 0
-        self.total_bases = 0
-        self.total_classified = 0
 
     def _round_mesh(self, b: int) -> int:
         """Round a batch height up so it splits evenly over mesh_data shards
@@ -1629,7 +1678,16 @@ class Classifier:
                     _, _, vals = read_kdb(os.path.join(d, "database.kdb"))
                     counts = counts_from_vals(vals)
                 write_counts(path, counts)
-            self.taxonomy.set_genome_sizes(read_counts_stream_bugcompat(path))
+            # feed each counts file into the (possibly shared) taxonomy ONCE:
+            # set_genome_sizes accumulates, so a second write_report -- or a
+            # with_shared_db sibling -- would double every genome size
+            fed = getattr(self.taxonomy, "_counts_fed", None)
+            if fed is None:
+                fed = self.taxonomy._counts_fed = set()
+            key = os.path.abspath(path)
+            if key not in fed:
+                fed.add(key)
+                self.taxonomy.set_genome_sizes(read_counts_stream_bugcompat(path))
 
     def write_report(self, fh) -> None:
         self.ensure_counts_files()
