@@ -1,34 +1,56 @@
 #!/usr/bin/env python
 """Benchmark: classify throughput at reference workload shape.
 
-Prints ONE JSON line whose primary metric is the EXACT-COMPAT (host
-accumulation, bit-identical reports) end-to-end pipeline throughput; extra
-keys record the --device-counters fast mode, the device-step microbench
-with per-phase timings, and the achieved probe bandwidth vs the HBM
-roofline.
+Prints a JSON line after EVERY completed stage (each line is a complete,
+valid metric record -- a driver timeout keeps the latest one). The primary
+metric is the --device-counters end-to-end pipeline throughput, which with
+sparse-regime tracking (classify/sparse_exact.py) is BIT-IDENTICAL to the
+reference's reports; the exact-compat host-accumulation mode is recorded
+alongside, plus the device-step microbench with per-phase timings and the
+achieved probe bandwidth vs the HBM roofline.
 
-Workload shape mirrors the reference's own benchmark
-(paper.md:122-136): a >=100M-key database (k=31, XOR-scrambled minimizer
-bins) under an NCBI-scale taxonomy (~2.4M nodes), classified in 65536-read
-device batches. Baseline: the reference's fastest configuration
-(--preload, whole DB in RAM) classifies 9.4M reads in 14 min ~= 11,200
-reads/s on a 2020 multicore server (paper.md:125, BASELINE.md).
-vs_baseline = exact-compat reads/s / that.
+Workload shape mirrors the reference's own benchmark (paper.md:122-136): a
+>=100M-key database (k=31, XOR-scrambled minimizer bins) under an
+NCBI-scale taxonomy (~2.4M nodes), classified in 65536-read device batches.
+Baseline: the reference's fastest configuration (--preload, whole DB in
+RAM) classifies 9.4M reads in 14 min ~= 11,200 reads/s on a 2020 multicore
+server (paper.md:125, BASELINE.md). vs_baseline = headline reads/s / that.
 
-The synthetic database and its built hash table persist under ~/.cache as
-a reference-layout DB directory; the first run pays the build (minutes at
-100M keys), later runs load it.
+Pass structure per mode: a short warmup pass (2 device spans) triggers
+every compile, then reset_counters() re-arms the SAME loaded classifier
+(no table re-upload) for the timed pass -- the round-2 bench paid a ~90s
+reload per pass and timed out (BENCH_r02.json rc=124).
+
+The synthetic database persists under ~/.cache as a reference-layout DB
+directory; the first run pays the build (minutes at 100M keys), later runs
+load it.
 """
 
+import io
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 BASELINE_READS_PER_S = 9_400_000 / (14 * 60)  # paper.md:125
 HBM_PEAK_GBPS = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819))  # v5e
+
+RESULT = {
+    "metric": "end_to_end_classify_reads_per_s",
+    "value": None,
+    "unit": "reads/s",
+    "vs_baseline": None,
+    "mode": "device_counters (bit-exact, sparse tracking on)",
+    "stages_done": [],
+}
+
+
+def emit(stage: str) -> None:
+    RESULT["stages_done"] = RESULT["stages_done"] + [stage]
+    print(json.dumps(RESULT), flush=True)
 
 
 def _pack_codes(codes: np.ndarray, ambig: np.ndarray):
@@ -45,15 +67,13 @@ def _pack_codes(codes: np.ndarray, ambig: np.ndarray):
 
 
 def main():
-    t0 = time.time()
+    t_start = time.time()
     import jax
 
     plat = os.environ.get("BENCH_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
 
-    from krakenuniq_tpu.classify.device_step import StepConfig, classify_step
-    from krakenuniq_tpu.kmer import encode_batch
     from krakenuniq_tpu.utils.demo import make_demo_db, make_demo_reads
 
     n_species = int(os.environ.get("BENCH_SPECIES", 400))
@@ -64,12 +84,13 @@ def main():
     nt = int(os.environ.get("BENCH_NT", 12))
     batch = int(os.environ.get("BENCH_BATCH", 65536))
     read_len = int(os.environ.get("BENCH_READ_LEN", 150))
-    reps = int(os.environ.get("BENCH_REPS", 10))
+    reps = int(os.environ.get("BENCH_REPS", 6))
     n_bench_reads = int(os.environ.get("BENCH_PIPELINE_READS", 1_000_000))
+    n_warm_reads = 2 * batch
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 0))  # 0 = no gating
 
     # ---- persistent reference-layout DB dir (built once, reused) ---------
     from krakenuniq_tpu.formats import write_index, write_kdb
-    from krakenuniq_tpu.taxonomy import Taxonomy
 
     cache_root = os.path.expanduser("~/.cache")
     db_dir = os.path.join(
@@ -100,36 +121,116 @@ def main():
                  genomes=np.array(genomes, dtype=object), n_keys=np.int64(n_keys))
         os.replace(genomes_npz + ".tmp.npz", genomes_npz)
         del keys, vals, offsets, tax
-        print(f"bench db built in {time.time()-t0:.0f}s -> {db_dir}", file=sys.stderr)
+        print(f"bench db built in {time.time()-t_start:.0f}s -> {db_dir}", file=sys.stderr)
 
-    # hash-table build/cache happens inside the Classifier (db/ht_cache.py);
-    # construct the exact-compat classifier first so the table build cost is
-    # paid (and cached) before any timing starts
     from krakenuniq_tpu.classify import Classifier, ClassifyOptions
 
     t_load = time.time()
-    c_exact = Classifier([db_dir], ClassifyOptions(print_progress=False))
-    tax_nodes = c_exact.taxonomy.size
+    c_dc = Classifier(
+        [db_dir], ClassifyOptions(print_progress=False, device_counters=True)
+    )
+    load_s = time.time() - t_load
+    tax_nodes = c_dc.taxonomy.size
+    RESULT.update(
+        db_keys=n_keys,
+        taxonomy_nodes=tax_nodes,
+        batch_reads=batch,
+        pipeline_reads=n_bench_reads,
+        load_upload_s=round(load_s, 1),
+        hash_lb=c_dc.dbs[0].hash_lb,
+    )
     print(
         f"db: {n_keys/1e6:.1f}M keys, taxonomy {tax_nodes/1e6:.2f}M nodes, "
-        f"hash lb={c_exact.dbs[0].hash_lb} "
-        f"({(1 << c_exact.dbs[0].hash_lb) * 16 / 1e9:.2f}GB table), "
-        f"load+upload {time.time()-t_load:.1f}s; devices={jax.devices()}",
+        f"hash lb={c_dc.dbs[0].hash_lb} "
+        f"({(1 << c_dc.dbs[0].hash_lb) * 16 / 1e9:.2f}GB table), "
+        f"load+upload {load_s:.1f}s; devices={jax.devices()}",
         file=sys.stderr,
     )
+    print(
+        f"id space: {'pool' if c_dc._pool is not None else 'dense'}"
+        + (f" ({c_dc._pool.size} ids)" if c_dc._pool is not None else ""),
+        file=sys.stderr,
+    )
+    emit("load")
 
-    # ---- device-step microbench with phase breakdown ---------------------
+    # ---- read sets -------------------------------------------------------
+    def write_reads(path, n_reads, seed=3):
+        rng = np.random.default_rng(seed)
+        sids = list(genomes)
+        gsel = rng.integers(len(sids), size=n_reads)
+        starts = rng.integers(0, genome_len - read_len, size=n_reads)
+        with open(path, "w") as f:
+            chunk = []
+            for i in range(n_reads):
+                g = genomes[sids[gsel[i]]]
+                s = starts[i]
+                chunk.append(f">r{i}\n{g[s:s+read_len]}\n")
+                if len(chunk) == 65536:
+                    f.write("".join(chunk))
+                    chunk = []
+            f.write("".join(chunk))
+
+    td_ctx = tempfile.TemporaryDirectory()
+    td = td_ctx.name
+    warm_path = os.path.join(td, "warm.fa")
+    reads_path = os.path.join(td, "bench_reads.fa")
+    write_reads(warm_path, n_warm_reads, seed=5)
+    write_reads(reads_path, n_bench_reads)
+
+    def run_mode(c, tag, timed_passes=2):
+        sink = open(os.devnull, "w")
+        t_w = time.time()
+        c.run([warm_path], kraken_fh=sink)  # compiles + link ramp
+        print(f"pipeline [{tag}] warmup ({n_warm_reads} reads): "
+              f"{time.time()-t_w:.2f}s", file=sys.stderr)
+        per_pass = []
+        for i in range(timed_passes):
+            c.reset_counters()
+            t0 = time.time()
+            c.run([reads_path], kraken_fh=sink)
+            dt = time.time() - t0
+            per_pass.append(dt)
+            print(f"pipeline [{tag}] pass {i}: {dt:.2f}s "
+                  f"({n_bench_reads/dt:,.0f} reads/s)", file=sys.stderr)
+        rep = io.StringIO()
+        t_r = time.time()
+        c.write_report(rep)
+        rep_s = time.time() - t_r
+        print(f"  report {rep_s:.2f}s", file=sys.stderr)
+        best = n_bench_reads / min(per_pass)
+        RESULT[f"{tag}_pass_s"] = [round(x, 2) for x in per_pass]
+        RESULT[f"{tag}_report_s"] = round(rep_s, 2)
+        RESULT[f"{tag}_reads_per_s"] = round(best, 1)
+        print(f"pipeline [{tag}]: {best:,.0f} reads/s", file=sys.stderr)
+        return best
+
+    # ---- stage: device-counters (bit-exact fast mode; the headline) ------
+    dc_rps = run_mode(c_dc, "device_counters")
+    RESULT["value"] = round(dc_rps, 1)
+    RESULT["vs_baseline"] = round(dc_rps / BASELINE_READS_PER_S, 3)
+    emit("device_counters")
+
+    # ---- stage: exact-compat host accumulation (same loaded table) -------
+    c_exact = Classifier.with_shared_db(
+        c_dc, ClassifyOptions(print_progress=False)
+    )
+    ec_rps = run_mode(c_exact, "exact_compat", timed_passes=1)
+    RESULT["exact_compat_reads_per_s"] = round(ec_rps, 1)
+    emit("exact_compat")
+
+    # ---- stage: device-step microbench with phase breakdown --------------
     import jax.numpy as jnp
 
     from krakenuniq_tpu.classify import device_step as ds
+    from krakenuniq_tpu.classify.device_step import classify_step
+    from krakenuniq_tpu.kmer import encode_batch
     from krakenuniq_tpu.kmer import ops as kops
     from krakenuniq_tpu.lookup.hash_lookup import hash_lookup_kmers
     from krakenuniq_tpu.taxonomy.resolve import resolve_reads
 
-    tax = c_exact.taxonomy
-    db0 = c_exact.dbs[0]
+    db0 = c_dc.dbs[0]
     hash_lb = db0.hash_lb
-    fused_planes = c_exact._db_planes[0]
+    fused_planes = c_dc._db_planes[0]
     reads = make_demo_reads(genomes, n_reads=batch, read_len=read_len)
     lb_len = max(128, -(-read_len // 32) * 32)
     enc = encode_batch(reads, lb=lb_len, batch=batch)
@@ -142,21 +243,13 @@ def main():
     w = lb_len - k + 1
     lanes = batch * w
 
-    # the classifier's own span config + id-space tables (value-pool mode
-    # when the DB's LCA closure fits u16 -- any real database)
-    cfg = c_exact._cfg_packed
-    taxid_table = c_exact._taxid_table
-    targs = (c_exact._tin, c_exact._tout, c_exact._parent)
-    root = c_exact._root_dense
-    print(
-        f"id space: {'pool' if c_exact._pool is not None else 'dense'}"
-        + (f" ({c_exact._pool.size} ids)" if c_exact._pool is not None else ""),
-        file=sys.stderr,
-    )
+    cfg = c_dc._cfg_packed
+    taxid_table = c_dc._taxid_table
+    targs = (c_dc._tin, c_dc._tout, c_dc._parent)
+    root = c_dc._root_dense
 
     def timeit(fn, n=max(2, reps // 2)):
-        r = fn()
-        np.asarray(r)
+        np.asarray(fn())
         t1 = time.time()
         for _ in range(n - 1):
             fn()
@@ -164,8 +257,7 @@ def main():
         return (time.time() - t1) / n
 
     # pass the table planes as ARGUMENTS: closing over them would bake the
-    # multi-GB table into the lowered program as a constant (slow compile +
-    # re-upload through the relay)
+    # multi-GB table into the lowered program as a constant
     @jax.jit
     def _ph_windows(cp, ap):
         c, a = ds.unpack_input(cp, ap)
@@ -180,16 +272,10 @@ def main():
         val = hash_lookup_kmers(planes, h, jnp.ones_like(h, bool), hash_lb)
         return jnp.sum(val)
 
-    def ph_windows():
-        return _ph_windows(codes_packed, ambig_packed)
-
-    def ph_probe():
-        return _ph_probe(fused_planes, codes_packed, ambig_packed)
-
     rng = np.random.default_rng(0)
     vpool = np.unique(np.asarray(db0.vals_dense))
-    if c_exact._pool is not None:
-        vpool = c_exact._pool.pool_index(vpool)  # resolve runs in pool space
+    if c_dc._pool is not None:
+        vpool = c_dc._pool.pool_index(vpool)
     taxa_rand = jax.device_put(
         vpool[rng.integers(0, len(vpool), size=(batch, w))].astype(np.int32))
     hitmask = jax.device_put(rng.random((batch, w)) < 0.8)
@@ -198,9 +284,6 @@ def main():
     def _ph_resolve(tr, hm, t1, t2, t3):
         return jnp.sum(resolve_reads(tr, hm, t1, t2, t3, root, cfg.max_depth))
 
-    def ph_resolve():
-        return _ph_resolve(taxa_rand, hitmask, *targs)
-
     def ph_full():
         out = classify_step(
             (fused_planes,), taxid_table, *targs, root,
@@ -208,10 +291,14 @@ def main():
         return out["packed"]
 
     phases = {}
-    phases["windows_murmur_ms"] = 1e3 * timeit(ph_windows)
-    phases["probe_chain_ms"] = 1e3 * timeit(ph_probe)
+    phases["windows_murmur_ms"] = 1e3 * timeit(
+        lambda: _ph_windows(codes_packed, ambig_packed))
+    emit("microbench_windows")
+    phases["probe_chain_ms"] = 1e3 * timeit(
+        lambda: _ph_probe(fused_planes, codes_packed, ambig_packed))
     phases["probe_ms"] = phases["probe_chain_ms"] - phases["windows_murmur_ms"]
-    phases["resolve_ms"] = 1e3 * timeit(ph_resolve)
+    phases["resolve_ms"] = 1e3 * timeit(
+        lambda: _ph_resolve(taxa_rand, hitmask, *targs))
     dt_full = timeit(ph_full)
     phases["full_step_ms"] = 1e3 * dt_full
 
@@ -226,76 +313,14 @@ def main():
         f"resolve {phases['resolve_ms']:.1f}ms",
         file=sys.stderr,
     )
-
-    # ---- full pipeline, both accumulation modes --------------------------
-    import tempfile
-
-    def write_reads(path):
-        rng = np.random.default_rng(3)
-        sids = list(genomes)
-        gsel = rng.integers(len(sids), size=n_bench_reads)
-        starts = rng.integers(0, genome_len - read_len, size=n_bench_reads)
-        with open(path, "w") as f:
-            chunk = []
-            for i in range(n_bench_reads):
-                g = genomes[sids[gsel[i]]]
-                s = starts[i]
-                chunk.append(f">r{i}\n{g[s:s+read_len]}\n")
-                if len(chunk) == 65536:
-                    f.write("".join(chunk))
-                    chunk = []
-            f.write("".join(chunk))
-
-    import io
-
-    results = {}
-    with tempfile.TemporaryDirectory() as td:
-        reads_path = os.path.join(td, "bench_reads.fa")
-        write_reads(reads_path)
-        for mode, dc in (("exact_compat", False), ("device_counters", True)):
-            dt_pipe = None
-            for attempt in range(2):  # second pass runs with warm compiles
-                c = (
-                    c_exact
-                    if (not dc and attempt == 0)
-                    else Classifier(
-                        [db_dir],
-                        ClassifyOptions(print_progress=False, device_counters=dc),
-                    )
-                )
-                sink = open(os.devnull, "w")
-                t3 = time.time()
-                c.run([reads_path], kraken_fh=sink)
-                dt = time.time() - t3
-                print(f"pipeline [{mode}] pass {attempt}: {dt:.2f}s", file=sys.stderr)
-                dt_pipe = dt if dt_pipe is None else min(dt_pipe, dt)
-            rep = io.StringIO()
-            t4 = time.time()
-            c.write_report(rep)
-            print(f"  report {time.time()-t4:.2f}s", file=sys.stderr)
-            results[mode] = n_bench_reads / dt_pipe
-            print(
-                f"pipeline [{mode}]: {results[mode]:,.0f} reads/s", file=sys.stderr
-            )
-
-    print(
-        json.dumps(
-            {
-                "metric": "end_to_end_classify_reads_per_s",
-                "value": round(results["exact_compat"], 1),
-                "unit": "reads/s",
-                "vs_baseline": round(results["exact_compat"] / BASELINE_READS_PER_S, 3),
-                "device_counters_reads_per_s": round(results["device_counters"], 1),
-                "device_step_lookups_per_s": round(lookups_per_s, 1),
-                "probe_achieved_gbps": round(probe_gbps, 2),
-                "hbm_peak_gbps": HBM_PEAK_GBPS,
-                "phase_ms": {p: round(v, 2) for p, v in phases.items()},
-                "db_keys": n_keys,
-                "taxonomy_nodes": tax_nodes,
-                "batch_reads": batch,
-            }
-        )
+    RESULT.update(
+        device_step_lookups_per_s=round(lookups_per_s, 1),
+        probe_achieved_gbps=round(probe_gbps, 2),
+        hbm_peak_gbps=HBM_PEAK_GBPS,
+        phase_ms={p: round(v, 2) for p, v in phases.items()},
     )
+    emit("microbench")
+    td_ctx.cleanup()
 
 
 if __name__ == "__main__":

@@ -485,6 +485,11 @@ def _probe_chunk_core(
     n_kmers = jnp.maximum(lengths - (k - 1), 0)[:, None]
     search = (pos < n_kmers) & ~kmer_ambig
     word = hash_lookup_kmers(planes, hashes, search, cfg.hash_lbs[0])
+    if cfg.db_axis is not None:
+        # OOC x mesh: each group probes mesh_db chunks simultaneously; a
+        # k-mer's minimizer lives in at most one of them (classify.cpp:447),
+        # so the cross-shard merge is a plain sum
+        word = jax.lax.psum(word, cfg.db_axis)
     return jnp.where(acc != 0, acc, word)
 
 

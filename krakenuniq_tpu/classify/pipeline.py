@@ -182,32 +182,81 @@ class Classifier:
         self._sharded_planes = None
         self._ooc = None  # list[ChunkedHashDB] in out-of-core mode
         n_md, n_mdb = self.opts.mesh_data, self.opts.mesh_db
+        use_mesh = n_md * n_mdb > 1
         ps = self.opts.preload_size or 0
-        if ps and n_md * n_mdb > 1:
-            raise ValueError(
-                "--preload-size (out-of-core chunking) and --mesh are mutually "
-                "exclusive: shard spatially OR stream temporally"
+
+        # kdb pre-reads shared between the pool build and the loaders (the
+        # joint pool needs every DB's dense values BEFORE any table is
+        # built). Memory discipline: only dense values are retained across
+        # DBs; keys/vals are held for at most one DB at a time.
+        pre_vd: dict[str, np.ndarray] = {}
+
+        def preload_vd(d: str) -> np.ndarray:
+            if d not in pre_vd:
+                from ..db.device_db import compute_vals_dense
+
+                _, _, v = read_kdb(
+                    os.path.join(
+                        d, "uid_database.kdb" if uid_database else "database.kdb"
+                    )
+                )
+                pre_vd[d] = (
+                    np.zeros(len(v), np.int32)
+                    if uid_database
+                    else compute_vals_dense(v, self.taxonomy)
+                )
+            return pre_vd[d]
+
+        def joint_pool():
+            # hierarchical lookups merge into ONE taxon plane
+            # (classify.cpp:927-936), so every database's table must speak
+            # the same id space: a joint pool over all value sets
+            from ..db.pool import build_value_pool
+
+            return build_value_pool(
+                [preload_vd(d) for d in self.db_dirs], self.taxonomy
             )
-        if ps and self._estimate_table_bytes(uid_database) > ps:
+
+        use_ooc = False
+        if ps:
+            # resident-vs-stream decision: with a mesh the budget is
+            # per-chip, so aggregate capacity is ps * mesh_db (the composed
+            # OOC x mesh mode streams chunk GROUPS of mesh_db tables)
+            capacity = ps * max(1, n_mdb)
+            est_dense = self._estimate_table_bytes(uid_database, pooled=False)
+            if est_dense <= capacity:
+                use_ooc = False
+            else:
+                est_pool = self._estimate_table_bytes(uid_database, pooled=True)
+                if est_pool > capacity:
+                    use_ooc = True
+                else:
+                    # ambiguous zone: resident only if the value pool
+                    # actually builds (closure <= u16) -- build it now from
+                    # the dense values (ADVICE r2: the old code assumed the
+                    # pool always builds and could overshoot the budget)
+                    if self.opts.value_pool and not uid_database:
+                        probe_pool = joint_pool()
+                        use_ooc = probe_pool is None
+                    else:
+                        use_ooc = True
+
+        if use_ooc and not use_mesh:
             from ..db.chunked import load_chunked_db
 
             pool_arg = "auto" if self.opts.value_pool else None
             if len(self.db_dirs) > 1 and pool_arg == "auto" and not uid_database:
-                # one id space across the hierarchy (see the resident branch)
-                from ..db.device_db import compute_vals_dense
-                from ..db.pool import build_value_pool
-
-                vds = []
-                for d in self.db_dirs:
-                    _, _, v = read_kdb(os.path.join(d, "database.kdb"))
-                    vds.append(compute_vals_dense(v, self.taxonomy))
-                pool_arg = build_value_pool(vds, self.taxonomy)
-            self._ooc = [
-                load_chunked_db(
-                    d, ps, self.taxonomy, uid_database=uid_database, pool=pool_arg
+                pool_arg = joint_pool()
+            self._ooc = []
+            for d in self.db_dirs:
+                vd = pre_vd.pop(d, None)
+                self._ooc.append(
+                    load_chunked_db(
+                        d, ps, self.taxonomy, uid_database=uid_database,
+                        pool=pool_arg,
+                        preloaded=(None, None, None, vd) if vd is not None else None,
+                    )
                 )
-                for d in self.db_dirs
-            ]
             if any(c.pool is None for c in self._ooc) and any(
                 c.pool is not None for c in self._ooc
             ):
@@ -224,7 +273,47 @@ class Classifier:
             self.k = self._ooc[0].k
             self.nt = self._ooc[0].nt
             self.dbs = []
-        elif n_md * n_mdb > 1:
+        elif use_ooc and use_mesh:
+            # composed mode: chunk tables planned at the PER-CHIP budget,
+            # streamed through the mesh in groups of mesh_db (one chunk per
+            # db-shard at a time); hits psum-merge within a group and fold
+            # into the span accumulator across groups. The spatial and
+            # temporal generalizations of classify.cpp:566-791 compose.
+            from ..db.chunked import load_chunked_db
+            from ..parallel import make_mesh
+
+            pool_arg = "auto" if self.opts.value_pool else None
+            if len(self.db_dirs) > 1 and pool_arg == "auto" and not uid_database:
+                pool_arg = joint_pool()
+            self._ooc = []
+            for d in self.db_dirs:
+                vd = pre_vd.pop(d, None)
+                self._ooc.append(
+                    load_chunked_db(
+                        d, ps, self.taxonomy, uid_database=uid_database,
+                        pool=pool_arg, chunk_multiple=n_mdb,
+                        preloaded=(None, None, None, vd) if vd is not None else None,
+                    )
+                )
+            if any(c.pool is None for c in self._ooc) and any(
+                c.pool is not None for c in self._ooc
+            ):
+                self._ooc = [
+                    load_chunked_db(
+                        d, ps, self.taxonomy, uid_database=uid_database,
+                        pool=None, chunk_multiple=n_mdb,
+                    )
+                    for d in self.db_dirs
+                ]
+            self._pool = self._ooc[0].pool
+            ks = {cdb.k for cdb in self._ooc}
+            if len(ks) != 1:
+                raise ValueError(f"Different k-mer sizes in databases: {sorted(ks)}")
+            self.k = self._ooc[0].k
+            self.nt = self._ooc[0].nt
+            self.dbs = []
+            self.mesh = make_mesh(n_md, n_mdb)
+        elif use_mesh:
             import jax as _jax
 
             from ..db.ht_cache import load_ht_cache, save_ht_cache
@@ -235,39 +324,26 @@ class Classifier:
             self._sharded_planes = []
             self._mesh_vals_dense: list = []  # per-DB host dense values (counts files)
             ks, nts, max_bins = set(), set(), []
-            loaded = []
+            # joint value pool across the hierarchy (one id space on device);
+            # the pool needs only the dense values, so keys/vals are read
+            # per-DB inside the build loop and released as each shard stack
+            # is built (ADVICE r2: holding every DB's kdb arrays at once)
+            self._pool = None
+            if not uid_database and self.opts.value_pool:
+                self._pool = joint_pool()
+            pool_rows = None if self._pool is None else self._pool.rows
             for d in self.db_dirs:
                 kdb_name = "uid_database.kdb" if uid_database else "database.kdb"
                 kdb_path = os.path.join(d, kdb_name)
-                hdr, h_keys, h_vals = read_kdb(kdb_path)
+                taxdb_path = os.path.join(d, "taxDB")
                 _idx_type, nt, h_offsets = read_index(os.path.join(d, "database.idx"))
-                if uid_database:
-                    h_vd = np.zeros(len(h_vals), np.int32)
-                else:
-                    from ..db.device_db import compute_vals_dense
-
-                    h_vd = compute_vals_dense(h_vals, self.taxonomy)
-                self._mesh_vals_dense.append(None if uid_database else h_vd)
-                ks.add(hdr.k)
                 nts.add(nt)
                 max_bins.append(
                     int(np.diff(np.asarray(h_offsets, dtype=np.int64)).max())
                 )
-                loaded.append((d, kdb_path, h_keys, h_vals, h_vd, h_offsets))
-            # joint value pool across the hierarchy (one id space on device)
-            self._pool = None
-            if not uid_database and self.opts.value_pool:
-                from ..db.pool import build_value_pool
+                from ..formats.kdb import read_header
 
-                self._pool = build_value_pool(
-                    [h_vd for *_rest, h_vd, _o in loaded], self.taxonomy
-                )
-            pool_rows = None if self._pool is None else self._pool.rows
-            for d, kdb_path, h_keys, h_vals, h_vd, h_offsets in loaded:
-                taxdb_path = os.path.join(d, "taxDB")
-                table_vals = (
-                    self._pool.pool_index(h_vd) if self._pool is not None else h_vd
-                )
+                ks.add(read_header(kdb_path).k)
                 # shard-stacked tables get their own cache file per shard count
                 sht_path = f"{kdb_path}.ht{n_mdb}"
                 cached = load_ht_cache(sht_path, kdb_path, taxdb_path, uid_database)
@@ -287,12 +363,31 @@ class Classifier:
                         bounds=[tuple(b) for b in extra["bounds"]],
                         store_raw=uid_database,
                     )
+                    h_vd = pre_vd.pop(d, None)
+                    if h_vd is None and not uid_database:
+                        h_vd = preload_vd(d)
+                        pre_vd.pop(d, None)
+                    self._mesh_vals_dense.append(None if uid_database else h_vd)
                 else:
+                    _hdr, h_keys, h_vals = read_kdb(kdb_path)
+                    h_vd = pre_vd.pop(d, None)
+                    if h_vd is None:
+                        if uid_database:
+                            h_vd = np.zeros(len(h_vals), np.int32)
+                        else:
+                            from ..db.device_db import compute_vals_dense
+
+                            h_vd = compute_vals_dense(h_vals, self.taxonomy)
+                    self._mesh_vals_dense.append(None if uid_database else h_vd)
+                    table_vals = (
+                        self._pool.pool_index(h_vd) if self._pool is not None else h_vd
+                    )
                     sink: list = []
                     sp = shard_hash_tables(
                         h_keys, h_vals, table_vals, np.asarray(h_offsets), n_mdb,
                         hash_sink=sink, store_raw=uid_database,
                     )
+                    del h_keys, h_vals, table_vals  # release before the next DB
                     host_stacks, lb, bounds = sink[0]
                     extra = {"bounds": [list(b) for b in bounds]}
                     if pool_rows is not None:
@@ -302,7 +397,6 @@ class Classifier:
                         extra=extra,
                     )
                 self._sharded_planes.append(sp)
-            del loaded
             if len(ks) != 1:
                 raise ValueError(f"Different k-mer sizes in databases: {sorted(ks)}")
             if len(nts) != 1:
@@ -317,21 +411,13 @@ class Classifier:
             self.dbs: list[DeviceDB] = []
             pool_arg = "auto" if self.opts.value_pool else None
             if len(self.db_dirs) > 1 and pool_arg == "auto" and not uid_database:
-                # hierarchical lookups merge into ONE taxon plane
-                # (classify.cpp:927-936), so every database's table must
-                # speak the same id space: a joint pool over all value sets
-                from ..db.device_db import compute_vals_dense
-                from ..db.pool import build_value_pool
-
-                vds = []
-                for d in self.db_dirs:
-                    _, _, v = read_kdb(os.path.join(d, "database.kdb"))
-                    vds.append(compute_vals_dense(v, self.taxonomy))
-                pool_arg = build_value_pool(vds, self.taxonomy)  # None if > u16
+                pool_arg = joint_pool()  # None if closure > u16
             for d in self.db_dirs:
+                vd = pre_vd.pop(d, None)
                 db, _ = load_database_dir(
                     d, taxonomy=self.taxonomy, uid_database=uid_database,
                     pool=pool_arg,
+                    preloaded=(None, None, None, vd) if vd is not None else None,
                 )
                 self.dbs.append(db)
             if any(db.pool is None for db in self.dbs) and any(
@@ -405,6 +491,14 @@ class Classifier:
             self._root_dense = np.int32(pool.root)
             step_depth = pool.max_depth
         else:
+            # dense mode packs Euler times into i32 sort keys shifted left 2
+            # below a 2^30 sentinel (taxonomy/resolve.py); times run to 2*T
+            if 2 * tax.size > (1 << 28):
+                raise ValueError(
+                    f"taxonomy too large for dense-mode tree resolution "
+                    f"({tax.size} nodes; Euler keys need 2*T <= 2^28) -- "
+                    "use the value pool (default) or split the taxonomy"
+                )
             self._taxids_host = np.ascontiguousarray(tax.taxids, dtype=np.uint32)
             self._taxid_table = jax.device_put(tax.taxids.astype(np.uint32))
             self._tin = jax.device_put(tax.tin)
@@ -534,9 +628,8 @@ class Classifier:
         )
         self._sharded_fn = self._sharded_fn_packed = None
         self._sharded_fn_long = None  # long-read (lookup-only) program, lazy
+        self._sharded_probe_fns = {}  # (db_i, packed) -> jitted probe fn
         if self.mesh is not None:
-            from ..parallel import make_sharded_classify_fn
-
             # id-space tables for the sharded program: pool arrays when the
             # value pool engaged (the host-side copies of _taxid_table etc.)
             if self._pool is not None:
@@ -555,20 +648,35 @@ class Classifier:
                     tax.parent,
                     self._root_dense,
                 )
-            self._sharded_fn_packed, self._mesh_dev_planes = make_sharded_classify_fn(
-                self.mesh,
-                self._sharded_planes,
-                *self._mesh_common,
-                self._cfg_packed,
-                dev_planes=getattr(self, "_mesh_dev_planes", None),
-            )
-            self._sharded_fn, _ = make_sharded_classify_fn(
-                self.mesh,
-                self._sharded_planes,
-                *self._mesh_common,
-                self._cfg,
-                dev_planes=self._mesh_dev_planes,
-            )
+            if self._ooc is not None:
+                # composed OOC x mesh: the finish pass is the acc-mode
+                # classify program; probe programs are built lazily per
+                # (database, packedness) in _mesh_probe_fn
+                from ..parallel.mesh import make_sharded_acc_classify_fn
+
+                self._sharded_fn_packed = make_sharded_acc_classify_fn(
+                    self.mesh, *self._mesh_common, self._cfg_packed
+                )
+                self._sharded_fn = make_sharded_acc_classify_fn(
+                    self.mesh, *self._mesh_common, self._cfg
+                )
+            else:
+                from ..parallel import make_sharded_classify_fn
+
+                self._sharded_fn_packed, self._mesh_dev_planes = make_sharded_classify_fn(
+                    self.mesh,
+                    self._sharded_planes,
+                    *self._mesh_common,
+                    self._cfg_packed,
+                    dev_planes=getattr(self, "_mesh_dev_planes", None),
+                )
+                self._sharded_fn, _ = make_sharded_classify_fn(
+                    self.mesh,
+                    self._sharded_planes,
+                    *self._mesh_common,
+                    self._cfg,
+                    dev_planes=self._mesh_dev_planes,
+                )
         self._effective_p = effective_p
         self._init_counters()
         self.total_sequences = 0
@@ -626,15 +734,18 @@ class Classifier:
 
     # ------------------------------------------------------------ out-of-core
 
-    def _estimate_table_bytes(self, uid_database: bool) -> int:
+    def _estimate_table_bytes(self, uid_database: bool, pooled: bool = True) -> int:
         """Resident-table HBM estimate across databases, from the kdb headers
-        alone (dense values are bounded by the taxonomy size)."""
+        alone (dense values are bounded by the taxonomy size). `pooled`
+        narrows the value field to the pool cap -- valid only if the value
+        pool actually builds; callers in the ambiguous zone must check both
+        estimates (ADVICE r2)."""
         from ..db.chunked import table_bytes
         from ..db.pool import POOL_CAP
         from ..formats.kdb import read_header
 
         max_val = self.taxonomy.size - 1
-        if self.opts.value_pool and not uid_database:
+        if pooled and self.opts.value_pool and not uid_database:
             max_val = min(max_val, POOL_CAP)  # pool mode narrows the value field
         total = 0
         for d in self.db_dirs:
@@ -657,33 +768,113 @@ class Classifier:
             packed_input=packed,
         )
 
+    def _mesh_probe_fn(self, db_i: int, packed: bool):
+        """Lazily-compiled sharded probe program for database db_i's chunk
+        groups (OOC x mesh)."""
+        key = (db_i, packed)
+        if key not in self._sharded_probe_fns:
+            from ..parallel.mesh import make_sharded_probe_fn
+
+            cdb = self._ooc[db_i]
+            self._sharded_probe_fns[key] = make_sharded_probe_fn(
+                self.mesh,
+                self._probe_cfg(db_i, packed),
+                2 if cdb.store_raw else 1,
+            )
+        return self._sharded_probe_fns[key]
+
     def _ooc_probe_group(self, spans: list, packed: bool) -> None:
         """Stream every chunk table through HBM ONCE for a group of spans:
         the outer-chunk/inner-reads loop of classify.cpp:587-648, with the
         on-disk hit merge replaced by a donated device accumulator. Each
         entry of `spans` is a dict with codes/ambig/lengths device arrays and
-        an `acc` that this fills."""
+        an `acc` that this fills.
+
+        Under a mesh, chunks stream in GROUPS of mesh_db -- one chunk per
+        db-shard resident simultaneously, probed with a psum merge -- so the
+        temporal loop shortens by the mesh width while each span batch stays
+        data-sharded (the OOC x mesh composition)."""
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            acc_sh = NamedSharding(mesh, P("data", None))
         for st in spans:
             if st["acc"] is None:
                 b = st["codes"].shape[0]
                 lb_len = st["codes"].shape[1] * 16 if packed else st["codes"].shape[1]
-                st["acc"] = jnp.zeros((b, lb_len - self.k + 1), jnp.uint32)
+                shape = (b, lb_len - self.k + 1)
+                if mesh is not None:
+                    st["acc"] = jax.device_put(np.zeros(shape, np.uint32), acc_sh)
+                else:
+                    st["acc"] = jnp.zeros(shape, jnp.uint32)
+        n_g = self.opts.mesh_db if mesh is not None else 1
         for db_i, cdb in enumerate(self._ooc):
-            pcfg = self._probe_cfg(db_i, packed)
-            for planes in cdb.chunk_planes:
-                dev = tuple(jax.device_put(p) for p in planes)
-                for st in spans:
-                    st["acc"] = probe_chunk(
-                        st["acc"], dev, st["codes"], st["ambig"], st["lengths"], pcfg
+            if mesh is None:
+                pcfg = self._probe_cfg(db_i, packed)
+                for planes in cdb.chunk_planes:
+                    dev = tuple(jax.device_put(p) for p in planes)
+                    for st in spans:
+                        st["acc"] = probe_chunk(
+                            st["acc"], dev, st["codes"], st["ambig"], st["lengths"], pcfg
+                        )
+                    del dev  # refcount drop; freed once the last probe retires
+                continue
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            fn = self._mesh_probe_fn(db_i, packed)
+            n_planes = len(cdb.chunk_planes[0])
+            db_shs = [
+                NamedSharding(
+                    mesh, P("db", *([None] * cdb.chunk_planes[0][p_i].ndim))
+                )
+                for p_i in range(n_planes)
+            ]
+            assert len(cdb.chunk_planes) % n_g == 0  # chunk_multiple=n_g
+            for g in range(0, len(cdb.chunk_planes), n_g):
+                group = cdb.chunk_planes[g : g + n_g]
+                stacked = tuple(
+                    jax.device_put(
+                        np.stack([gp[p_i] for gp in group]), db_shs[p_i]
                     )
-                del dev  # refcount drop; freed once the last probe retires
+                    for p_i in range(n_planes)
+                )
+                for st in spans:
+                    st["acc"] = fn(
+                        st["acc"], *stacked, st["codes"], st["ambig"], st["lengths"]
+                    )
+                del stacked
+
+    def _sharded_acc_alt(self, cfg2: "StepConfig"):
+        """Lazily-compiled acc-mode sharded finish program for a fallback
+        config (OOC x mesh: long reads, wide layout, sparse-stats refetch)."""
+        if cfg2 == self._cfg:
+            return self._sharded_fn
+        if cfg2 == self._cfg_packed:
+            return self._sharded_fn_packed
+        fns = self.__dict__.setdefault("_sharded_acc_alt_fns", {})
+        if cfg2 not in fns:
+            from ..parallel.mesh import make_sharded_acc_classify_fn
+
+            fns[cfg2] = make_sharded_acc_classify_fn(
+                self.mesh, *self._mesh_common, cfg2
+            )
+        return fns[cfg2]
 
     def _ooc_device_step(self, codes, ambig, lengths, cfg: "StepConfig"):
         """Single-span out-of-core step (python/long-read paths): chunk loop
         then the finish pass. The native span path groups spans instead
         (_run_native)."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            codes = jax.device_put(codes, NamedSharding(self.mesh, P("data", None)))
+            ambig = jax.device_put(ambig, NamedSharding(self.mesh, P("data", None)))
+            lengths = jax.device_put(lengths, NamedSharding(self.mesh, P("data")))
         st = {"codes": codes, "ambig": ambig, "lengths": lengths, "acc": None}
         self._ooc_probe_group([st], packed=cfg.packed_input)
+        if self.mesh is not None:
+            return dict(self._sharded_acc_alt(cfg)(st["acc"], codes, ambig, lengths))
         return classify_step(
             st["acc"],
             self._taxid_table,
@@ -1114,12 +1305,20 @@ class Classifier:
         seq_lens = np.ascontiguousarray(offs[:, 5].astype(np.int32))
         max_len = int(seq_lens.max())
         lb = _bucket_len(max(max_len, self.k), max(128, self.k))
-        b = _bucket(n_span, 1024, step=8)
+        b = self._round_mesh(_bucket(n_span, 1024, step=8))
         offs_c = np.ascontiguousarray(offs)
         codes, ambig_arr, lengths = _native.encode_unit_packed(buf, offs_c, lb, b)
-        codes_d = jax.device_put(codes)
-        ambig_d = jax.device_put(ambig_arr)
-        lengths_d = jax.device_put(lengths)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            row_sh = NamedSharding(self.mesh, P("data", None))
+            codes_d = jax.device_put(codes, row_sh)
+            ambig_d = jax.device_put(ambig_arr, row_sh)
+            lengths_d = jax.device_put(lengths, NamedSharding(self.mesh, P("data")))
+        else:
+            codes_d = jax.device_put(codes)
+            ambig_d = jax.device_put(ambig_arr)
+            lengths_d = jax.device_put(lengths)
         w = lb - self.k + 1
         return {
             "buf": buf,
@@ -1140,6 +1339,33 @@ class Classifier:
     def _dispatch_ooc_finish(self, st: dict):
         """Run the finish pass (resolve/HLL/RLE from the merged word plane)
         for one probed span; returns the _finish_native_span state tuple."""
+        if self.mesh is not None:
+            out = dict(
+                self._sharded_fn_packed(
+                    st["acc"], st["codes"], st["ambig"], st["lengths"]
+                )
+            )
+            if self.dev_counters is not None:
+                row_valid = np.zeros(st["b"], dtype=bool)
+                row_valid[: st["n_span"]] = True
+                self.dev_counters.update(
+                    out["taxa_dense"], out["enc"], out["hll_lanes"],
+                    out["call_dense"], row_valid,
+                    unit_id=self._unit_id_rows(st["unit_bounds"], st["b"]),
+                )
+            self._slice_and_prefetch(out, st["b"], st["n_span"])
+
+            def redispatch_mesh(cfg2):
+                return dict(
+                    self._sharded_acc_alt(cfg2)(
+                        st["acc"], st["codes"], st["ambig"], st["lengths"]
+                    )
+                )
+
+            return (
+                st["buf"], st["offs"], st["unit_bounds"], st["fastq"], out,
+                st["seq_lens"], st["n_span"], self._cfg_packed, redispatch_mesh,
+            )
         if self.dev_counters is not None:
             from .device_step import classify_and_count
 

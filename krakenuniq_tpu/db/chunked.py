@@ -55,13 +55,16 @@ def plan_chunks(
     max_value: int,
     store_raw: bool,
     min_chunks: int = 1,
+    chunk_multiple: int = 1,
 ) -> tuple[list[tuple[int, int]], int]:
     """Cut minimizer bins into chunks whose hash tables fit budget_bytes.
 
     Returns ([(bin_lo, bin_hi)), ...], common_lb). Mirrors the reference's
     largest-range-that-fits binary search (krakendb.cpp:430-461), realized as
     the smallest equal-key chunk count whose largest chunk fits the budget.
-    `min_chunks` forces a finer cut (retry path after a placement stall).
+    `min_chunks` forces a finer cut (retry path after a placement stall);
+    `chunk_multiple` rounds the count up so chunks group evenly over a mesh
+    "db" axis (the OOC x mesh composition).
     """
     per_bucket = _RAW_BYTES_PER_BUCKET if store_raw else _FUSED_BYTES_PER_BUCKET
     offsets = np.asarray(offsets, dtype=np.int64)
@@ -84,12 +87,13 @@ def plan_chunks(
     from ..parallel.partition import partition_bins_equal_keys
 
     n_chunks = max(min_chunks, -(-total // cap)) if total else max(1, min_chunks)
+    n_chunks = -(-n_chunks // chunk_multiple) * chunk_multiple
     while True:
         bounds = partition_bins_equal_keys(offsets, n_chunks)
         sizes = [int(offsets[hi] - offsets[lo]) for lo, hi in bounds]
         if max(sizes) <= cap:
             break
-        n_chunks += 1  # bin granularity overflowed a chunk; cut finer
+        n_chunks += chunk_multiple  # bin granularity overflowed a chunk; cut finer
     if store_raw:
         lb = max(
             max(
@@ -139,6 +143,7 @@ def build_chunked_db(
     k: int,
     nt: int,
     store_raw: bool = False,
+    chunk_multiple: int = 1,
 ) -> ChunkedHashDB:
     """Build per-chunk hash tables on host. Keys must be the bin-sorted pair
     array (so each chunk's keys are a contiguous slice).
@@ -154,7 +159,9 @@ def build_chunked_db(
     min_chunks = 1
     lb_bump = 0
     while True:
-        bounds, lb = plan_chunks(offsets, budget_bytes, vmax, store_raw, min_chunks)
+        bounds, lb = plan_chunks(
+            offsets, budget_bytes, vmax, store_raw, min_chunks, chunk_multiple
+        )
         if (1 << (lb + lb_bump)) * per_bucket <= budget_bytes:
             lb = min(lb + lb_bump, 30)
         else:
@@ -178,7 +185,7 @@ def build_chunked_db(
                 if (1 << (lb + 1)) * per_bucket <= budget_bytes:
                     lb_bump += 1
                 else:
-                    min_chunks = len(bounds) + 1
+                    min_chunks = len(bounds) + chunk_multiple
                 break
             chunk_planes.append(host)
         if ok:
@@ -201,11 +208,15 @@ def load_chunked_db(
     taxonomy,
     uid_database: bool = False,
     pool="auto",
+    preloaded: tuple | None = None,  # (hdr, keys, vals, vals_dense) if already read
+    chunk_multiple: int = 1,
 ) -> ChunkedHashDB:
     """Load a reference-layout DB dir as a chunked (out-of-core) table set,
     with an on-disk cache of the built chunk planes (`<kdb>.htc`). `pool`:
     "auto" builds the database's own value pool (db/pool.py), a ValuePool
-    shares a joint id space (hierarchical multi-DB), None stores dense ids."""
+    shares a joint id space (hierarchical multi-DB), None stores dense ids.
+    `chunk_multiple` > 1 pads the chunk count to a multiple (mesh streaming
+    probes chunks in groups of mesh_db; padding chunks are empty tables)."""
     from ..formats import read_index, read_kdb
     from .device_db import compute_vals_dense
     from .ht_cache import load_ht_cache, save_ht_cache
@@ -215,13 +226,19 @@ def load_chunked_db(
     kdb_name = "uid_database.kdb" if uid_database else "database.kdb"
     kdb_path = os.path.join(db_dir, kdb_name)
     taxdb_path = os.path.join(db_dir, "taxDB")
-    hdr, keys, vals = read_kdb(kdb_path)
+    if preloaded is not None:
+        hdr, keys, vals, vals_dense = preloaded
+    else:
+        hdr = keys = vals = vals_dense = None
+    if keys is None:
+        hdr, keys, vals = read_kdb(kdb_path)
     _idx_type, nt, offsets = read_index(os.path.join(db_dir, "database.idx"))
-    vals_dense = (
-        np.zeros(len(vals), np.int32)
-        if uid_database
-        else compute_vals_dense(vals, taxonomy)
-    )
+    if vals_dense is None:
+        vals_dense = (
+            np.zeros(len(vals), np.int32)
+            if uid_database
+            else compute_vals_dense(vals, taxonomy)
+        )
     if uid_database:
         pool = None
     elif pool == "auto":
@@ -237,7 +254,12 @@ def load_chunked_db(
         space_ok = (c_rows is None) == (pool_rows is None) and (
             pool_rows is None or np.array_equal(np.asarray(c_rows), pool_rows)
         )
-        if extra and extra.get("budget") == budget_bytes and space_ok:
+        if (
+            extra
+            and extra.get("budget") == budget_bytes
+            and extra.get("chunk_multiple", 1) == chunk_multiple
+            and space_ok
+        ):
             per = 2 if uid_database else 1
             chunk_planes = [
                 tuple(planes[i * per : (i + 1) * per])
@@ -257,12 +279,16 @@ def load_chunked_db(
 
     cdb = build_chunked_db(
         keys, vals, table_vals, offsets, budget_bytes, hdr.k, nt,
-        store_raw=uid_database,
+        store_raw=uid_database, chunk_multiple=chunk_multiple,
     )
     cdb.vals_dense = None if uid_database else vals_dense
     cdb.pool = pool
     flat = tuple(p for planes in cdb.chunk_planes for p in planes)
-    extra = {"budget": budget_bytes, "bounds": [list(b) for b in cdb.bounds]}
+    extra = {
+        "budget": budget_bytes,
+        "bounds": [list(b) for b in cdb.bounds],
+        "chunk_multiple": chunk_multiple,
+    }
     if pool_rows is not None:
         extra["pool_rows"] = pool_rows
     save_ht_cache(

@@ -179,13 +179,16 @@ def load_database_dir(
     uid_database: bool = False,
     device=None,
     pool: ValuePool | str | None = "auto",
+    preloaded: tuple | None = None,  # (hdr, keys, vals, vals_dense) if already read
 ) -> tuple[DeviceDB, Taxonomy]:
     """Load a reference-layout database directory onto the device.
 
     Expects `database.kdb` (or `uid_database.kdb`), `database.idx`, `taxDB`
     (scripts/krakenuniq:135-138, 199). `pool`: "auto" builds this database's
     own value pool (db/pool.py); a ValuePool instance shares one id space
-    across hierarchical databases; None disables pooled values."""
+    across hierarchical databases; None disables pooled values. `preloaded`
+    skips re-reading the kdb when the caller already holds its arrays (the
+    multi-DB joint-pool path reads them for the pool build)."""
     from .ht_cache import load_ht_cache, save_ht_cache
 
     db_dir = os.fspath(db_dir)
@@ -194,13 +197,19 @@ def load_database_dir(
     if taxonomy is None:
         taxonomy = Taxonomy.from_taxdb_file(taxdb_path)
     kdb_path = os.path.join(db_dir, kdb_name)
-    hdr, keys, vals = read_kdb(kdb_path)
+    if preloaded is not None:
+        hdr, keys, vals, vals_dense = preloaded
+    else:
+        hdr = keys = vals = vals_dense = None
+    if keys is None:
+        hdr, keys, vals = read_kdb(kdb_path)
     idx_type, nt, offsets = read_index(os.path.join(db_dir, "database.idx"))
-    vals_dense = (
-        np.zeros(len(vals), np.int32)
-        if uid_database
-        else compute_vals_dense(vals, taxonomy)
-    )
+    if vals_dense is None:
+        vals_dense = (
+            np.zeros(len(vals), np.int32)
+            if uid_database
+            else compute_vals_dense(vals, taxonomy)
+        )
     if uid_database:
         pool = None
     elif pool == "auto":

@@ -25,7 +25,11 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..classify.device_step import StepConfig, classify_step_core
+from ..classify.device_step import (
+    StepConfig,
+    _probe_chunk_core,
+    classify_step_core,
+)
 from .partition import ShardedDBPlanes, ShardedHashPlanes
 
 
@@ -164,3 +168,114 @@ def make_sharded_classify_fn(
         return shard_fn(*dev_planes, *tax_args, root_dense, codes, ambig, lengths)
 
     return jax.jit(fn), dev_planes
+
+
+def make_sharded_probe_fn(mesh: Mesh, cfg: StepConfig, n_planes: int):
+    """OOC x mesh probe: one chunk GROUP (mesh_db stacked chunk tables of one
+    database) resident at a time; each db-shard probes its chunk, the words
+    psum-merge over "db" (exactly-one-chunk invariant, classify.cpp:447), and
+    the result folds into the span accumulator (first-nonzero precedence --
+    the temporal merge of classify.cpp:390-485).
+
+    Returns fn(acc, planes, codes, ambig, lengths) -> acc. `planes` is the
+    group's stacked plane tuple, device_put with P("db", ...) by the caller
+    (tables change every group; they must be arguments, not captures).
+    n_planes = 1 for fused tables, 2 for raw (UID) two-level stacks."""
+    cfg = StepConfig(**{**cfg.__dict__, "db_axis": "db", "data_axis": "data"})
+
+    def core(acc, *rest):
+        planes = tuple(x[0] for x in rest[:n_planes])  # drop shard-block axis
+        codes, ambig, lengths = rest[n_planes:]
+        return _probe_chunk_core(acc, planes, codes, ambig, lengths, cfg)
+
+    plane_specs = tuple(P("db", *([None] * 2)) for _ in range(n_planes))
+    shard_fn = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P("data", None),)
+        + plane_specs
+        + (P("data", None), P("data", None), P("data")),
+        out_specs=P("data", None),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn, donate_argnums=(0,))
+
+
+def make_sharded_acc_classify_fn(
+    mesh: Mesh,
+    taxid_table: np.ndarray,
+    tin: np.ndarray,
+    tout: np.ndarray,
+    parent: np.ndarray,
+    root_dense,
+    cfg: StepConfig,
+):
+    """OOC x mesh finish pass: classify_step_core in "acc" mode over the
+    accumulated word plane (already chunk- and shard-merged), data-parallel
+    over "data" and replicated over "db". Returns fn(acc, codes, ambig,
+    lengths) -> outputs dict with the same contract as the resident mesh
+    program."""
+    cfg = StepConfig(
+        **{
+            **cfg.__dict__,
+            "db_axis": None,  # acc is fully merged; no psum in the finish
+            "data_axis": "data",
+            "lookup_mode": "acc",
+            "hash_lbs": (),
+        }
+    )
+    repl = NamedSharding(mesh, P())
+    tax_args = tuple(
+        jax.device_put(np.asarray(x), repl) for x in (taxid_table, tin, tout, parent)
+    )
+    root_dense = jax.device_put(np.int32(root_dense), repl)
+
+    def core(taxid_table, tin, tout, parent, root, acc, codes, ambig, lengths):
+        return classify_step_core(
+            acc, taxid_table, tin, tout, parent, root, codes, ambig, lengths, cfg
+        )
+
+    out_specs = {
+        "taxa": P("data", None),
+        "taxa_dense": P("data", None),
+        "ambig": P("data", None),
+        "processed": P("data", None),
+        "hll_lanes": P("data", None),
+        "enc": P("data", None),
+        "call": P("data"),
+        "call_dense": P("data"),
+        "hits": P("data"),
+        "n_kmers": P("data"),
+    }
+    if cfg.with_kmers:
+        out_specs["canon"] = P("data", None)
+    if cfg.max_runs > 0:
+        out_specs["packed"] = P("data", None)
+        if cfg.dense_runs:
+            out_specs["hll_enc"] = P("data", None)
+            out_specs["hll_dense"] = P("data", None)
+        else:
+            out_specs["hll_pairs"] = P("data", None)
+        if cfg.local_dict and cfg.dense_runs:
+            out_specs["lut"] = P()
+    if cfg.outputs is not None:
+        out_specs = {k: out_specs[k] for k in cfg.outputs}
+
+    shard_fn = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(),
+            P("data", None),  # acc
+            P("data", None),  # codes
+            P("data", None),  # ambig
+            P("data"),  # lengths
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+    def fn(acc, codes, ambig, lengths):
+        return shard_fn(*tax_args, root_dense, acc, codes, ambig, lengths)
+
+    return jax.jit(fn)

@@ -168,14 +168,42 @@ def test_ooc_group_flush_boundary():
     assert out0 == out1 and rep0 == rep1
 
 
-def test_ooc_mesh_mutually_exclusive():
-    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
-
-    with pytest.raises(ValueError, match="mutually"):
-        Classifier(
-            [DATA],
-            ClassifyOptions(preload_size=1024, mesh_data=2, mesh_db=1),
-        )
+@pytest.mark.parametrize(
+    "mode,mesh",
+    [
+        ("default", (1, 4)),
+        ("default", (2, 2)),
+        ("device_counters", (2, 2)),
+        ("exact", (1, 2)),
+    ],
+)
+def test_ooc_mesh_composition(mode, mesh):
+    """--preload-size composes with --mesh: chunk tables stream through the
+    mesh in groups of mesh_db (one chunk per db-shard, psum-merged), spans
+    stay data-sharded, and the result is byte-equal to the resident
+    single-chip run. Mirrors classify.cpp:566-791 where chunks compose with
+    the full feature set."""
+    n_md, n_mdb = mesh
+    reads = os.path.join(DATA, "reads.fa")
+    kw = {}
+    if mode == "quick":
+        kw = {"quick": True, "min_hits": 2}
+    elif mode == "exact":
+        kw = {"exact": True}
+    elif mode == "device_counters":
+        kw = {"device_counters": True}
+    out0, rep0, c0 = _run([DATA], reads, kw)
+    # per-chip budget small enough that chunks * mesh_db >= 3 groups
+    budget = _tiny_budget(DATA, frac=4 * n_mdb)
+    out1, rep1, c1 = _run(
+        [DATA], reads,
+        {**kw, "preload_size": budget, "mesh_data": n_md, "mesh_db": n_mdb},
+    )
+    assert c1._ooc is not None and c1.mesh is not None
+    n_chunks = _chunks_used(c1)
+    assert n_chunks % n_mdb == 0 and n_chunks // n_mdb >= 3
+    assert out0 == out1
+    assert rep0 == rep1
 
 
 def test_ooc_cache_roundtrip(tmp_path):
