@@ -135,7 +135,22 @@ class TaxonCounter:
                 if pn > max(8192, 2 * self._base_n.get(t, 0)):
                     self._compact(t)
 
-    def _unit_exact(self, taxa_flat: np.ndarray, kmers_flat: np.ndarray) -> None:
+    def process_sets(self, taxa_flat: np.ndarray, kmers_flat: np.ndarray) -> None:
+        """Fold one unit's (taxon, k-mer) stream into the distinct-k-mer sets
+        WITHOUT touching read/k-mer counts (--exact with --device-counters:
+        the counters live on device; only the khset equivalents fold here)."""
+        assert self.exact
+        self._counts_cache = None
+        if len(taxa_flat):
+            self._unit_exact(
+                np.asarray(taxa_flat, np.uint32),
+                np.asarray(kmers_flat, np.uint64),
+                count=False,
+            )
+
+    def _unit_exact(
+        self, taxa_flat: np.ndarray, kmers_flat: np.ndarray, count: bool = True
+    ) -> None:
         order = np.argsort(taxa_flat, kind="stable")
         t_sorted = taxa_flat[order]
         k_sorted = kmers_flat[order]
@@ -148,7 +163,8 @@ class TaxonCounter:
         for i in range(len(seg_start)):
             s, e = int(seg_start[i]), int(seg_end[i])
             t = int(t_sorted[s])
-            nk[t] = nk.get(t, 0) + (e - s)
+            if count:
+                nk[t] = nk.get(t, 0) + (e - s)
             seg = np.unique(k_sorted[s:e])
             pending.setdefault(t, []).append(seg)
             pn = self._pending_n.get(t, 0) + len(seg)
@@ -190,7 +206,10 @@ class TaxonCounter:
         if self._counts_cache is not None:
             return self._counts_cache
         out: dict[int, ReadCounts] = {}
-        taxa = set(self.n_reads) | set(self.n_kmers)
+        taxa = (
+            set(self.n_reads) | set(self.n_kmers)
+            | set(self._pending) | set(self.dense_M)
+        )
         for t in taxa:
             nk = self.n_kmers.get(t, 0)
             if self.exact:

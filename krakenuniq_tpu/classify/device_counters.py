@@ -51,6 +51,7 @@ def update_core(
     p: int,
     unit_id: jax.Array | None = None,  # uint8 [B]: work-unit index per row
     sparse_cap: int = 0,  # >0: also return sparse-exact stats (buf, n_p, n_e)
+    counts_only: bool = False,  # skip registers/tracking (--exact: sets live on host)
 ):
     """Pure accumulation body; jitted standalone below and fused into the
     classify step by the pipeline (one dispatch, overlapped with the lookup
@@ -61,7 +62,7 @@ def update_core(
     pm = pool * m
     sp = (
         sparse_stats_core(taxa_dense, enc, hll_lanes, unit_id, p, sparse_cap)
-        if sparse_cap > 0
+        if sparse_cap > 0 and not counts_only
         else ()
     )
     taxa_flat = taxa_dense.reshape(-1)
@@ -75,6 +76,8 @@ def update_core(
     kmer_counts = kmer_counts + jnp.bincount(
         jnp.where(lanes, taxa_flat, t), length=t + 1
     )[:t].astype(jnp.int64)
+    if counts_only:
+        return (reg, kmer_counts, read_counts) + sp
 
     # dense register update: idx = top p bits of the encoding, rank decoded
     # from it (see utils/bits.decode_rank; identical for dense inserts)
@@ -128,7 +131,9 @@ def update_core(
 
 
 _update = functools.partial(
-    jax.jit, donate_argnums=(0, 1, 2), static_argnames=("p", "sparse_cap")
+    jax.jit,
+    donate_argnums=(0, 1, 2),
+    static_argnames=("p", "sparse_cap", "counts_only"),
 )(update_core)
 
 
@@ -139,18 +144,25 @@ class DeviceCounters:
         p: int = 12,
         pool_dense: np.ndarray | None = None,
         sparse_cap: int = 1 << 17,
+        counts_only: bool = False,
     ):
         """pool_dense: the dense taxon ids that can ever be COUNTED -- the
         distinct database values (misses count under 0). None falls back to
         the full taxonomy (small taxonomies only). sparse_cap: per-span
         buffer slots for the sparse-exact stats (0 = estimate-compat only,
-        no sparse tracking)."""
+        no sparse tracking). counts_only: accumulate read/k-mer counters but
+        no HLL registers (--exact mode: the distinct-k-mer sets fold on host
+        while the counters stay device-resident)."""
         self.p = p
         self.m = 1 << p
         self.n_taxa = n_taxa
-        self.sparse_cap = sparse_cap
+        self.counts_only = counts_only
+        self.sparse_cap = 0 if counts_only else sparse_cap
+        sparse_cap = self.sparse_cap
         self.tracker = SparseTracker() if sparse_cap > 0 else None
-        if pool_dense is None:
+        if counts_only:
+            pool = np.zeros(1, dtype=np.int64)  # register plane unused
+        elif pool_dense is None:
             pool = np.arange(n_taxa, dtype=np.int64)
         else:
             pool = np.unique(np.concatenate([[0], np.asarray(pool_dense, np.int64)]))
@@ -196,6 +208,7 @@ class DeviceCounters:
             self.p,
             unit_id,
             self.sparse_cap if self.tracker is not None else 0,
+            self.counts_only,
         )
         self.reg, self.kmer_counts, self.read_counts = out[:3]
         if self.tracker is not None:
@@ -237,6 +250,8 @@ class DeviceCounters:
         get a SPARSE HLL holding the union of their units' distinct
         encodings -- the exact final state the reference's unit-merge fold
         produces (order-independent; see sparse_exact.py module doc)."""
+        from ..hll import ExactCounter
+
         kmer_counts = np.asarray(self.kmer_counts)
         read_counts = np.asarray(self.read_counts)
         active = np.flatnonzero((kmer_counts > 0) | (read_counts > 0))
@@ -246,7 +261,11 @@ class DeviceCounters:
         out: dict[int, ReadCounts] = {}
         for dense in active.tolist():
             nk = int(kmer_counts[dense])
-            if self.tracker is not None and dense not in self.tracker.dense_ever:
+            if self.counts_only:
+                # --exact: the distinct-k-mer sets fold on host and merge in
+                # at write_report; the device state is counters alone
+                h = ExactCounter()
+            elif self.tracker is not None and dense not in self.tracker.dense_ever:
                 h = HLL(self.p, sparse=True)
                 h.sparse_set = self.tracker.sparse_set_of(dense)
                 h.n_observed = nk

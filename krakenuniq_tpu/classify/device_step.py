@@ -517,12 +517,16 @@ def _classify_and_count_core(
     cfg: StepConfig,
     p: int,
     sparse_cap: int = 0,
+    counts_only: bool = False,
 ):
     """Classify step with the --device-counters accumulation fused into the
     same XLA program: one dispatch per span, and the accumulation scatters
     overlap the lookup gathers instead of serializing behind them. With
     sparse_cap > 0 the program also emits the per-work-unit sparse-regime
-    stats (sparse_exact.py) that make the fast mode bit-identical."""
+    stats (sparse_exact.py) that make the fast mode bit-identical. For
+    raw-valued (UID) databases the counters key on the RAW value plane
+    (the reference counts k-mers under the stored UID, classify.cpp:939);
+    counts_only skips the register/tracking work (--exact mode)."""
     from .device_counters import update_core
 
     # the accumulation consumes intermediate outputs, so run the core
@@ -533,12 +537,13 @@ def _classify_and_count_core(
     )
     b = codes.shape[0]
     row_valid = jnp.arange(b, dtype=jnp.int32) < n_valid
+    id_plane = out["taxa"].astype(jnp.int32) if any(cfg.raw_dbs) else out["taxa_dense"]
     state = update_core(
         reg,
         kmer_counts,
         read_counts,
         pool_maps,
-        out["taxa_dense"],
+        id_plane,
         out["enc"],
         out["hll_lanes"],
         out["call_dense"],
@@ -546,6 +551,7 @@ def _classify_and_count_core(
         p,
         unit_id,
         sparse_cap,
+        counts_only,
     )
     if cfg.outputs is not None:
         out = {k: out[k] for k in cfg.outputs}
@@ -554,6 +560,6 @@ def _classify_and_count_core(
 
 classify_and_count = jax.jit(
     _classify_and_count_core,
-    static_argnames=("cfg", "p", "sparse_cap"),
+    static_argnames=("cfg", "p", "sparse_cap", "counts_only"),
     donate_argnums=(0, 1, 2),
 )

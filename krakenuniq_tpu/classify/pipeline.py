@@ -585,9 +585,21 @@ class Classifier:
         # mapped back through taxid_table on host)
         if self._cfg.max_runs > 0:
             if self.uid_map is not None:
-                span_outputs = ("packed", "taxa", "ambig", "hll_pairs")
+                # with device counters the uid-keyed accumulation is fused
+                # into the dispatch; only the planes the host still reads
+                # (uid resolve + RLE overflow) come back
+                if self.opts.device_counters:
+                    span_outputs = ("packed", "taxa", "ambig")
+                    if self.mesh is not None:
+                        span_outputs = span_outputs + ("enc", "hll_lanes")
+                else:
+                    span_outputs = ("packed", "taxa", "ambig", "hll_pairs")
             elif self.opts.exact:
+                # the distinct-k-mer sets always fold on host from the canon
+                # plane; device counters (counts-only) ride the same dispatch
                 span_outputs = ("packed", "taxa", "ambig", "hll_lanes", "canon")
+                if self.opts.device_counters and self.mesh is not None:
+                    span_outputs = span_outputs + ("taxa_dense", "enc", "call_dense")
             elif self.opts.device_counters:
                 span_outputs = ("packed", "taxa_dense", "ambig")
                 if self.mesh is not None:
@@ -622,9 +634,11 @@ class Classifier:
                 outputs=wide_outputs,
             )
         # sparse-exact overflow fallback: re-run the span for the full
-        # per-lane feed and compute the unit stats on host (rare)
+        # per-lane feed and compute the unit stats on host (rare); UID runs
+        # track in raw-uid space, so the raw plane comes back instead
+        self._fb_id_key = "taxa" if self.uid_map is not None else "taxa_dense"
         self._cfg_sparse_fb = dataclasses.replace(
-            self._cfg_packed, outputs=("taxa_dense", "enc", "hll_lanes")
+            self._cfg_packed, outputs=(self._fb_id_key, "enc", "hll_lanes")
         )
         self._sharded_fn = self._sharded_fn_packed = None
         self._sharded_fn_long = None  # long-read (lookup-only) program, lazy
@@ -689,13 +703,36 @@ class Classifier:
         self.counter = TaxonCounter(effective_p, exact=self.opts.exact)
         self.dev_counters = None
         if self.opts.device_counters:
-            if self.opts.exact or self._uid_database:
-                raise ValueError("--device-counters is incompatible with --exact/--uid-mapping")
             from .device_counters import DeviceCounters
             from .sparse_exact import TAXON_BITS
 
             sparse_cap = self.opts.sparse_cap
-            if pool is not None:
+            if self.opts.exact:
+                # --exact x --device-counters: read/k-mer counters accumulate
+                # on device; the khset-equivalent distinct-k-mer sets fold on
+                # host from the canon plane the exact path fetches anyway
+                # (classify.cpp:44-56 runs exact counting in every mode)
+                n = pool.size if pool is not None else tax.size
+                self.dev_counters = DeviceCounters(
+                    n, effective_p, counts_only=True
+                )
+            elif self._uid_database:
+                # UID databases: k-mer counters and registers key on the RAW
+                # stored uid (the reference counts under the uid value,
+                # classify.cpp:939,953-959); read counts key on the
+                # host-resolved taxid and fold through self.counter
+                n_uid = len(self.uid_map) + 1
+                uid_vals = self._uid_value_set()
+                if sparse_cap > 0 and n_uid >= (1 << TAXON_BITS):
+                    raise ValueError(
+                        f"--device-counters sparse-exact tracking supports "
+                        f"uid spaces under 2^{TAXON_BITS} (got {n_uid}); "
+                        f"set sparse_cap=0 for estimate-level compat"
+                    )
+                self.dev_counters = DeviceCounters(
+                    n_uid, effective_p, pool_dense=uid_vals, sparse_cap=sparse_cap
+                )
+            elif pool is not None:
                 # pool mode: the device id space IS the value closure --
                 # registers and counters are pool-width, the remap is the
                 # identity, and bincounts run at length P instead of T
@@ -733,6 +770,14 @@ class Classifier:
         return b if n_md <= 1 else _round_up(b, n_md)
 
     # ------------------------------------------------------------ out-of-core
+
+    def _uid_value_set(self) -> np.ndarray:
+        """Distinct raw uid values stored in the UID database (bounds the
+        device register plane)."""
+        if self.dbs:
+            return np.unique(np.asarray(self.dbs[0].vals))
+        _, _, vals = read_kdb(os.path.join(self.db_dirs[0], "uid_database.kdb"))
+        return np.unique(vals)
 
     def _estimate_table_bytes(self, uid_database: bool, pooled: bool = True) -> int:
         """Resident-table HBM estimate across databases, from the kdb headers
@@ -1169,17 +1214,12 @@ class Classifier:
         if self.mesh is not None:
             out = dict(self._sharded_fn_packed(codes, ambig_arr, lengths))
             if self.dev_counters is not None:
-                # separate counter-update program over the sharded outputs
-                row_valid = np.zeros(b, dtype=bool)
-                row_valid[:n_span] = True
-                self.dev_counters.update(
-                    out["taxa_dense"], out["enc"], out["hll_lanes"],
-                    out["call_dense"], row_valid,
-                    unit_id=self._unit_id_rows(unit_bounds, b),
-                )
+                self._mesh_counter_update(out, n_span, b, unit_bounds)
         elif self.dev_counters is not None:
             # accumulation fused into the classify program: one dispatch,
-            # scatters overlapped with the lookup gathers
+            # scatters overlapped with the lookup gathers. UID runs count
+            # k-mers under the raw uid plane and resolve read calls on host,
+            # so device-side read counting is disabled (n_valid=0).
             from .device_step import classify_and_count
 
             out, state, sp = classify_and_count(
@@ -1194,11 +1234,12 @@ class Classifier:
                 codes,
                 ambig_arr,
                 lengths,
-                np.int32(n_span),
+                np.int32(0 if self.uid_map is not None else n_span),
                 self._unit_id_rows(unit_bounds, b),
                 self._cfg_packed,
                 self.dev_counters.p,
                 self.dev_counters.sparse_cap,
+                self.dev_counters.counts_only,
             )
             self.dev_counters.set_state(state)
             if sp:
@@ -1283,6 +1324,25 @@ class Classifier:
             )
         return fns[cfg2]
 
+    def _mesh_counter_update(self, out: dict, n_span: int, b: int, unit_bounds) -> None:
+        """Separate counter-update program over the sharded step outputs
+        (mesh runs have no fused classify_and_count)."""
+        if self.uid_map is not None:
+            row_valid = np.zeros(b, dtype=bool)  # read calls resolve on host
+            self.dev_counters.update(
+                np.asarray(out["taxa"]).astype(np.int32), out["enc"],
+                out["hll_lanes"], np.zeros(b, np.int32), row_valid,
+                unit_id=self._unit_id_rows(unit_bounds, b),
+            )
+            return
+        row_valid = np.zeros(b, dtype=bool)
+        row_valid[:n_span] = True
+        self.dev_counters.update(
+            out["taxa_dense"], out["enc"], out["hll_lanes"],
+            out["call_dense"], row_valid,
+            unit_id=self._unit_id_rows(unit_bounds, b),
+        )
+
     @staticmethod
     def _unit_id_rows(unit_bounds, b: int) -> np.ndarray:
         """Per-row work-unit index (uint8 [b]); padded rows inherit the last
@@ -1346,12 +1406,8 @@ class Classifier:
                 )
             )
             if self.dev_counters is not None:
-                row_valid = np.zeros(st["b"], dtype=bool)
-                row_valid[: st["n_span"]] = True
-                self.dev_counters.update(
-                    out["taxa_dense"], out["enc"], out["hll_lanes"],
-                    out["call_dense"], row_valid,
-                    unit_id=self._unit_id_rows(st["unit_bounds"], st["b"]),
+                self._mesh_counter_update(
+                    out, st["n_span"], st["b"], st["unit_bounds"]
                 )
             self._slice_and_prefetch(out, st["b"], st["n_span"])
 
@@ -1381,11 +1437,12 @@ class Classifier:
                 st["codes"],
                 st["ambig"],
                 st["lengths"],
-                np.int32(st["n_span"]),
+                np.int32(0 if self.uid_map is not None else st["n_span"]),
                 self._unit_id_rows(st["unit_bounds"], st["b"]),
                 self._cfg_packed,
                 self.dev_counters.p,
                 self.dev_counters.sparse_cap,
+                self.dev_counters.counts_only,
             )
             self.dev_counters.set_state(state)
             if sp:
@@ -1492,11 +1549,25 @@ class Classifier:
                 ):
                     fb = dict(redispatch(self._cfg_sparse_fb))
                     self.dev_counters.consume_host(
-                        np.asarray(fb["taxa_dense"])[:n_span],
+                        np.asarray(fb[self._fb_id_key])[:n_span].astype(np.int64),
                         np.asarray(fb["enc"])[:n_span],
                         np.asarray(fb["hll_lanes"])[:n_span],
                         unit_bounds=unit_bounds,
                     )
+            if opts.exact:
+                # device holds the counters; the khset-equivalent sets fold
+                # on host from the canon plane (span-wide: set union needs
+                # no per-unit structure)
+                taxa_full = np.asarray(out["taxa"])[:n_span]
+                row_ok = np.asarray(out["hll_lanes"])[:n_span]
+                canon = np.asarray(out["canon"])[:n_span]
+                self.counter.process_sets(taxa_full[row_ok], canon[row_ok])
+            if self.uid_map is not None:
+                # read counts key on the host-resolved taxid; fold them
+                # through the host counter (merged at write_report)
+                self.counter.process_unit(
+                    np.empty(0, np.uint32), np.empty(0, np.uint32), calls
+                )
         elif opts.exact:
             taxa_full = np.asarray(out["taxa"])
             hll_lanes = np.asarray(out["hll_lanes"])
@@ -1778,21 +1849,48 @@ class Classifier:
             long_idx and self.dev_counters.tracker is not None
         )
         if use_dev:
-            row_valid = np.zeros(out["call_dense"].shape[0], dtype=bool)
-            row_valid[: len(unit)] = True
-            for i in long_idx:
-                # long reads accumulate through the host-side counter below
-                # (their lanes live in chunk rows, not this unit's planes);
-                # their zero-length placeholder rows hold no counted lanes
-                row_valid[i] = False
-            self.dev_counters.update(
-                out["taxa_dense"], out["enc"], out["hll_lanes"], out["call_dense"], row_valid
-            )
+            b_rows = out["call_dense"].shape[0]
+            if self.uid_map is not None:
+                # k-mer counters/registers key on the raw uid plane; read
+                # calls resolve on host and fold through self.counter
+                self.dev_counters.update(
+                    np.asarray(out["taxa"]).astype(np.int32), out["enc"],
+                    out["hll_lanes"], np.zeros(b_rows, np.int32),
+                    np.zeros(b_rows, dtype=bool),
+                )
+                self.counter.process_unit(
+                    np.empty(0, np.uint32), np.empty(0, np.uint32), calls
+                )
+            else:
+                row_valid = np.zeros(b_rows, dtype=bool)
+                row_valid[: len(unit)] = True
+                for i in long_idx:
+                    # long reads accumulate through the host-side counter below
+                    # (their lanes live in chunk rows, not this unit's planes);
+                    # their zero-length placeholder rows hold no counted lanes
+                    row_valid[i] = False
+                self.dev_counters.update(
+                    out["taxa_dense"], out["enc"], out["hll_lanes"], out["call_dense"], row_valid
+                )
+            if opts.exact:
+                # device holds counters; distinct sets fold on host
+                short_ok = hll_lanes[: len(unit)].copy()
+                for i in long_idx:
+                    short_ok[i] = False
+                canon_out = np.asarray(out["canon"])[: len(unit)]
+                self.counter.process_sets(
+                    taxa[: len(unit)][short_ok], canon_out[short_ok]
+                )
             for i in sorted(long_idx):
-                t_l, a_l, e_l, call_l, _, proc, _ = long_results[i]
+                t_l, a_l, e_l, call_l, _, proc, c_l = long_results[i]
                 lanes = proc & ~a_l
                 self.counter.process_unit(
-                    t_l[lanes], e_l[lanes], np.asarray([call_l], dtype=np.uint32)
+                    t_l[lanes],
+                    (c_l if opts.exact else e_l)[lanes],
+                    # UID read counts were already folded from `calls` above
+                    np.empty(0, np.uint32)
+                    if self.uid_map is not None
+                    else np.asarray([call_l], dtype=np.uint32),
                 )
         else:
             canon_out = np.asarray(out["canon"]) if opts.exact else None
@@ -1920,8 +2018,14 @@ class Classifier:
         counts = self.counter.counts
         if self.dev_counters is not None:
             # _taxids_host is the device-id -> taxid map for the id space in
-            # play (pool taxids in pool mode, the full taxonomy otherwise)
-            dev_counts = self.dev_counters.finalize(self._taxids_host)
+            # play (pool taxids in pool mode, the full taxonomy otherwise);
+            # UID counters key on the raw uid value itself (classify.cpp:939)
+            id_map = (
+                np.arange(self.dev_counters.n_taxa, dtype=np.uint32)
+                if self.uid_map is not None
+                else self._taxids_host
+            )
+            dev_counts = self.dev_counters.finalize(id_map)
             # long reads (chunked on host) accumulated in self.counter;
             # ReadCounts.iadd handles the sparse-into-dense HLL merge
             for tid, rc in counts.items():

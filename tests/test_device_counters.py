@@ -101,6 +101,66 @@ def test_device_counters_approx_mode():
         np.testing.assert_array_equal(hd.M, dev[taxid].kmers.M, err_msg=str(taxid))
 
 
+def test_device_counters_exact_mode():
+    """--exact x --device-counters: counters on device, khset-equivalent
+    sets folded on host; output and report byte-identical to the plain
+    --exact run (classify.cpp:44-56 runs exact counting in every mode)."""
+    reads = os.path.join(DATA, "reads.fa")
+    ka, kb = io.StringIO(), io.StringIO()
+    ca = Classifier([DATA], ClassifyOptions(print_progress=False, exact=True))
+    ca.run([reads], kraken_fh=ka)
+    cb = Classifier(
+        [DATA],
+        ClassifyOptions(print_progress=False, exact=True, device_counters=True),
+    )
+    cb.run([reads], kraken_fh=kb)
+    assert ka.getvalue() == kb.getvalue()
+    ra, rb = io.StringIO(), io.StringIO()
+    ca.write_report(ra)
+    cb.write_report(rb)
+    assert ra.getvalue() == rb.getvalue()
+    host = ca.counter.counts
+    dev = cb.dev_counters.finalize(cb._taxids_host)
+    merged = dict(dev)
+    for t, rc in cb.counter.counts.items():
+        if t in merged:
+            merged[t] = merged[t].copy().iadd(rc)
+        else:
+            merged[t] = rc
+    assert set(host) <= set(merged)
+    for t in host:
+        assert host[t].n_reads == merged[t].n_reads, t
+        assert host[t].n_kmers == merged[t].n_kmers, t
+        np.testing.assert_array_equal(
+            np.sort(host[t].kmers.kmers), np.sort(merged[t].kmers.kmers)
+        )
+
+
+def test_device_counters_uid_mode():
+    """--uid x --device-counters: k-mer counters and HLL registers key on the
+    raw uid (classify.cpp:939), read counts on the host-resolved taxid;
+    byte-identical output and report."""
+    if not os.path.exists(os.path.join(DATA, "uid_database.kdb")):
+        pytest.skip("uid fixture missing")
+    reads = os.path.join(DATA, "reads.fa")
+    ka, kb = io.StringIO(), io.StringIO()
+    ca = Classifier(
+        [DATA], ClassifyOptions(print_progress=False), uid_database=True
+    )
+    ca.run([reads], kraken_fh=ka)
+    cb = Classifier(
+        [DATA],
+        ClassifyOptions(print_progress=False, device_counters=True),
+        uid_database=True,
+    )
+    cb.run([reads], kraken_fh=kb)
+    assert ka.getvalue() == kb.getvalue()
+    ra, rb = io.StringIO(), io.StringIO()
+    ca.write_report(ra)
+    cb.write_report(rb)
+    assert ra.getvalue() == rb.getvalue()
+
+
 def test_device_counters_overflow_fallback():
     """A tiny sparse buffer forces the host-stats fallback for every span;
     results stay bit-identical and the overflow is counted."""
