@@ -120,6 +120,13 @@ class ClassifyOptions:
     # budget share one pass of the chunk tables through HBM (the analogue of
     # the reference re-reading all reads per chunk, classify.cpp:587-648)
     ooc_group_bytes: int = 2 << 30
+    # multi-host (DCN) input sharding: this process handles global device
+    # spans s with s % n_hosts == host_id (parallel/multihost.py). The
+    # kraken output holds only this host's spans (span_manifest records
+    # their global order for the cross-host merge); per-taxon counter state
+    # is folded across hosts via finalized_counts()/save_counter_state.
+    host_id: int = 0
+    n_hosts: int = 1
 
 
 def _bucket(n: int, lo: int, step: int = 2) -> int:
@@ -998,14 +1005,46 @@ class Classifier:
             and self.opts.use_native
             and not self.opts.print_sequence  # -s needs Python records
         )
+        # global device-span numbering for multi-host input sharding
+        # (parallel/multihost.py); continues across input files
+        self._span_counter = 0
+        self.span_manifest = []  # [(global_span_idx, byte_start, byte_end)]
         for path in input_paths:
             if use_native:
                 self._run_native(path, kraken_fh, classified_fh, unclassified_fh)
             else:
                 for unit, fastq in self._work_units(path):
-                    self._process_unit(unit, fastq, kraken_fh, classified_fh, unclassified_fh)
+                    idx = self._span_counter
+                    self._span_counter += 1
+                    if idx % self.opts.n_hosts != self.opts.host_id:
+                        continue
+                    with self._manifest_span(idx, kraken_fh):
+                        self._process_unit(
+                            unit, fastq, kraken_fh, classified_fh, unclassified_fh
+                        )
                     self._progress()
         self._elapsed = time.time() - t0
+
+    def _manifest_span(self, span_idx: int, kraken_fh):
+        """Context recording the kraken-output byte range of one global span
+        (multi-host merge manifest; no-op single-host or for un-tellable
+        sinks)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            track = self.opts.n_hosts > 1 and kraken_fh is not None
+            b0 = None
+            if track:
+                try:
+                    b0 = kraken_fh.tell()
+                except (OSError, AttributeError):
+                    b0 = None
+            yield
+            if b0 is not None:
+                self.span_manifest.append((span_idx, b0, kraken_fh.tell()))
+
+        return cm()
 
     def _progress(self):
         if self.opts.print_progress:
@@ -1112,30 +1151,35 @@ class Classifier:
         if self._ooc is not None:
             return self._run_native_ooc(path, kraken_fh, classified_fh, unclassified_fh)
         pending = deque()  # spans in flight, ordered; bounded by _PIPELINE_DEPTH
+
+        def finish(idx_st):
+            idx, st = idx_st
+            with self._manifest_span(idx, kraken_fh):
+                self._finish_native_span(st, kraken_fh, classified_fh, unclassified_fh)
+
         for kind, buf, offs, unit_bounds, fastq in self._iter_native_spans(path):
+            idx = self._span_counter
+            self._span_counter += 1
+            if idx % self.opts.n_hosts != self.opts.host_id:
+                continue
             if kind == "fallback":
                 # flush any in-flight spans first to keep output ordered
                 while pending:
-                    self._finish_native_span(
-                        pending.popleft(), kraken_fh, classified_fh, unclassified_fh
+                    finish(pending.popleft())
+                with self._manifest_span(idx, kraken_fh):
+                    self._python_fallback_chunk(
+                        buf, offs, fastq, kraken_fh, classified_fh, unclassified_fh
                     )
-                self._python_fallback_chunk(
-                    buf, offs, fastq, kraken_fh, classified_fh, unclassified_fh
-                )
                 continue
             st = self._start_native_span(buf, offs, unit_bounds, fastq)
-            pending.append(st)
+            pending.append((idx, st))
             # overlap: the device crunches the newest span(s) while the
             # host formats the oldest one
             while len(pending) > self._PIPELINE_DEPTH:
-                self._finish_native_span(
-                    pending.popleft(), kraken_fh, classified_fh, unclassified_fh
-                )
+                finish(pending.popleft())
             self._progress()
         while pending:
-            self._finish_native_span(
-                pending.popleft(), kraken_fh, classified_fh, unclassified_fh
-            )
+            finish(pending.popleft())
         self._progress()
 
     def _run_native_ooc(self, path, kraken_fh, classified_fh, unclassified_fh) -> None:
@@ -1145,39 +1189,44 @@ class Classifier:
         group is finished span by span."""
         from collections import deque
 
-        group: list[dict] = []
+        group: list = []  # [(global_span_idx, span state), ...]
         group_bytes = 0
+
+        def finish(idx, st):
+            with self._manifest_span(idx, kraken_fh):
+                self._finish_native_span(st, kraken_fh, classified_fh, unclassified_fh)
 
         def flush():
             nonlocal group, group_bytes
             if not group:
                 return
-            self._ooc_probe_group(group, packed=True)
+            self._ooc_probe_group([st for _i, st in group], packed=True)
             out_q = deque()
-            for st in group:
-                out_q.append(self._dispatch_ooc_finish(st))
+            for idx, st in group:
+                out_q.append((idx, self._dispatch_ooc_finish(st)))
                 while len(out_q) > self._PIPELINE_DEPTH:
-                    self._finish_native_span(
-                        out_q.popleft(), kraken_fh, classified_fh, unclassified_fh
-                    )
+                    finish(*out_q.popleft())
             while out_q:
-                self._finish_native_span(
-                    out_q.popleft(), kraken_fh, classified_fh, unclassified_fh
-                )
+                finish(*out_q.popleft())
             group, group_bytes = [], 0
             self._progress()
 
         for kind, buf, offs, unit_bounds, fastq in self._iter_native_spans(path):
+            idx = self._span_counter
+            self._span_counter += 1
+            if idx % self.opts.n_hosts != self.opts.host_id:
+                continue
             if kind == "fallback":
                 flush()  # keep output ordered
-                self._python_fallback_chunk(
-                    buf, offs, fastq, kraken_fh, classified_fh, unclassified_fh
-                )
+                with self._manifest_span(idx, kraken_fh):
+                    self._python_fallback_chunk(
+                        buf, offs, fastq, kraken_fh, classified_fh, unclassified_fh
+                    )
                 continue
             st = self._start_ooc_span(buf, offs, unit_bounds, fastq)
             if st is None:
                 continue
-            group.append(st)
+            group.append((idx, st))
             group_bytes += st["bytes"]
             if group_bytes >= self.opts.ooc_group_bytes:
                 flush()
@@ -2013,8 +2062,10 @@ class Classifier:
                 fed.add(key)
                 self.taxonomy.set_genome_sizes(read_counts_stream_bugcompat(path))
 
-    def write_report(self, fh) -> None:
-        self.ensure_counts_files()
+    def finalized_counts(self) -> dict:
+        """The final {taxid: ReadCounts} map: host-fold state merged with the
+        device-counter state (if any). Fresh objects each call -- safe to
+        fold further (multi-host merge, parallel/multihost.py)."""
         counts = self.counter.counts
         if self.dev_counters is not None:
             # _taxids_host is the device-id -> taxid map for the id space in
@@ -2032,8 +2083,26 @@ class Classifier:
                 if tid in dev_counts:
                     dev_counts[tid].iadd(rc)
                 else:
-                    dev_counts[tid] = rc
+                    dev_counts[tid] = rc.copy()
             counts = dev_counts
+        return counts
+
+    def write_report(self, fh, extra_counts: list | None = None) -> None:
+        """`extra_counts`: other hosts' finalized counts (dicts or state-file
+        paths, parallel/multihost.py) folded in before reporting."""
+        self.ensure_counts_files()
+        counts = self.finalized_counts()
+        if extra_counts:
+            from ..parallel.multihost import load_counter_state, merge_counts
+
+            if self.dev_counters is None:
+                # self.counter.counts objects are cached on the counter;
+                # don't mutate them during the cross-host fold
+                counts = {t: rc.copy() for t, rc in counts.items()}
+            for other in extra_counts:
+                if isinstance(other, (str, os.PathLike)):
+                    other = load_counter_state(os.fspath(other))
+                merge_counts(counts, other)
         rep = TaxReport(
             self.taxonomy,
             counts,

@@ -73,6 +73,30 @@ def build_parser() -> argparse.ArgumentParser:
         "range over DB devices and the read batch over DATA devices "
         "(requires DATA*DB <= available devices)",
     )
+    p.add_argument(
+        "--multihost",
+        default=None,
+        metavar="ID/N",
+        help="multi-host input sharding (parallel/multihost.py): this "
+        "process is host ID of N; it classifies global device spans with "
+        "span %% N == ID, writes its kraken segment plus <output>.manifest, "
+        "and saves counter state to <report>.state.<ID>. Host 0 merges: "
+        "run it last with --multihost-merge <statefile> per other host",
+    )
+    p.add_argument(
+        "--multihost-merge",
+        action="append",
+        default=[],
+        metavar="STATEFILE",
+        help="fold other hosts' counter-state files into this host's report",
+    )
+    p.add_argument(
+        "--distributed-init",
+        default=None,
+        metavar="COORD_ADDR",
+        help="bring up jax.distributed against this coordinator "
+        "(KUNIQ_NUM_PROCS/KUNIQ_PROC_ID or --multihost supply the ids)",
+    )
     p.add_argument("--version", action="version", version=f"KrakenUniq-TPU version {__version__}")
     p.add_argument("files", nargs="*", help="FASTA/FASTQ input files (gz/bz2/xz ok)")
     return p
@@ -147,6 +171,22 @@ def main(argv: list[str] | None = None) -> int:
             print(f"bad --preload-size value {args.preload_size!r}", file=sys.stderr)
             return 1
 
+    host_id, n_hosts = 0, 1
+    if args.multihost:
+        try:
+            host_id, n_hosts = (int(x) for x in args.multihost.split("/"))
+        except ValueError:
+            print(f"--multihost expects ID/N (e.g. 0/2), got {args.multihost!r}", file=sys.stderr)
+            return 1
+    if args.distributed_init:
+        from ..parallel.multihost import initialize
+
+        initialize(
+            args.distributed_init,
+            num_processes=n_hosts if args.multihost else None,
+            process_id=host_id if args.multihost else None,
+        )
+
     opts = ClassifyOptions(
         quick=args.quick,
         min_hits=args.min_hits,
@@ -159,6 +199,8 @@ def main(argv: list[str] | None = None) -> int:
         mesh_data=mesh_data,
         mesh_db=mesh_db,
         preload_size=preload_size,
+        host_id=host_id,
+        n_hosts=n_hosts,
     )
 
     inputs = list(args.files)
@@ -208,10 +250,27 @@ def main(argv: list[str] | None = None) -> int:
             unclassified_fh=unclassified_fh,
         )
         classifier.report_stats()
+        if n_hosts > 1:
+            # cross-host artifacts (parallel/multihost.py): the kraken span
+            # manifest and this host's serialized counter state -- the
+            # reference's per-worker temp-file merge made explicit
+            # (classify.cpp:390-485)
+            import json as _json
+
+            from ..parallel.multihost import save_counter_state
+
+            if args.output and args.output not in ("off", "-"):
+                with open(args.output + ".manifest", "w") as mf:
+                    _json.dump(classifier.span_manifest, mf)
+            if args.report_file and args.report_file != "off":
+                save_counter_state(
+                    f"{args.report_file}.state.{host_id}",
+                    classifier.finalized_counts(),
+                )
         if args.report_file and args.report_file != "off":
             print(f"Writing report file to {args.report_file}  ..", file=sys.stderr)
             with open(args.report_file, "a") as rf:
-                classifier.write_report(rf)
+                classifier.write_report(rf, extra_counts=args.multihost_merge or None)
     finally:
         for fh in close_fhs:
             fh.close()

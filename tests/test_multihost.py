@@ -1,0 +1,221 @@
+"""Multi-host (DCN) classification: deterministic span-interleaved input
+sharding, serialized counter-state fold, manifest-ordered output merge, and
+the jax.distributed bring-up -- byte-equal to the single-host run.
+
+SURVEY §5: "ICI for intra-slice, DCN for cross-host input sharding"; the
+cross-host merge mirrors the reference's per-worker temp-file merge
+(classify.cpp:390-485)."""
+
+import io
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "golden", "data")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(DATA, "kraken.out")),
+    reason="golden fixture missing",
+)
+
+
+def _single_host(reads, **kw):
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+
+    c = Classifier([DATA], ClassifyOptions(print_progress=False, **kw))
+    out, rep = io.StringIO(), io.StringIO()
+    c.run([reads], kraken_fh=out)
+    c.write_report(rep)
+    return out.getvalue(), rep.getvalue()
+
+
+@pytest.mark.parametrize("kw", [{}, {"device_counters": True}, {"exact": True}])
+def test_multihost_merge_equals_single(tmp_path, kw):
+    """2-way span sharding: merged kraken output and the folded report are
+    byte-identical to the single-host run, in every accumulation mode."""
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+    from krakenuniq_tpu.parallel.multihost import (
+        merge_counts,
+        merge_kraken_outputs,
+    )
+    from krakenuniq_tpu.report import TaxReport, DEFAULT_COLS
+
+    reads = os.path.join(DATA, "reads.fa")
+    parts = []
+    merged_counts = {}
+    hosts = []
+    # work_unit_size small enough that the fixture yields multiple spans
+    for hid in range(2):
+        c = Classifier(
+            [DATA],
+            ClassifyOptions(
+                print_progress=False, host_id=hid, n_hosts=2,
+                work_unit_size=2000, device_batch_reads=64, **kw
+            ),
+        )
+        kp = tmp_path / f"k{hid}.out"
+        with open(kp, "w") as fh:
+            c.run([reads], kraken_fh=fh)
+        assert c.span_manifest, "multi-host runs must record a span manifest"
+        parts.append((str(kp), c.span_manifest))
+        merge_counts(merged_counts, c.finalized_counts())
+        hosts.append(c)
+
+    # the two hosts processed disjoint, complete span sets
+    span_ids = sorted(i for _p, m in parts for i, _a, _b in m)
+    assert span_ids == list(range(len(span_ids)))
+
+    merged = tmp_path / "merged.out"
+    merge_kraken_outputs(str(merged), parts)
+    # the single-host reference must use the same span geometry
+    k0b, _ = _single_host(
+        reads, work_unit_size=2000, device_batch_reads=64, **kw
+    )
+    assert merged.read_text() == k0b
+
+    hosts[0].ensure_counts_files()
+    rep = TaxReport(hosts[0].taxonomy, merged_counts)
+    rep.set_cols(DEFAULT_COLS)
+    buf = io.StringIO()
+    rep.write(buf)
+    # single-host report at the same span geometry
+    from krakenuniq_tpu.classify import Classifier as C2, ClassifyOptions as O2
+
+    c_ref = C2(
+        [DATA],
+        O2(print_progress=False, work_unit_size=2000, device_batch_reads=64, **kw),
+    )
+    ref_out = io.StringIO()
+    c_ref.run([reads], kraken_fh=ref_out)
+    ref_rep = io.StringIO()
+    c_ref.write_report(ref_rep)
+    assert buf.getvalue() == ref_rep.getvalue()
+
+
+def test_multihost_state_roundtrip(tmp_path):
+    """Counter-state files reload to equal counts (HLL sparse/dense, exact
+    sets, and plain counters)."""
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+    from krakenuniq_tpu.parallel.multihost import (
+        load_counter_state,
+        save_counter_state,
+    )
+
+    reads = os.path.join(DATA, "reads.fa")
+    c = Classifier([DATA], ClassifyOptions(print_progress=False))
+    c.run([reads])
+    counts = c.finalized_counts()
+    p = tmp_path / "state.bin"
+    save_counter_state(str(p), counts)
+    back = load_counter_state(str(p))
+    assert set(back) == set(counts)
+    for t in counts:
+        assert back[t].n_reads == counts[t].n_reads
+        assert back[t].n_kmers == counts[t].n_kmers
+        a, b = counts[t].kmers, back[t].kmers
+        if a is None or getattr(a, "n_observed", 1) == 0 and not hasattr(a, "kmers"):
+            continue
+        if hasattr(a, "sparse"):
+            assert a.sparse == b.sparse
+            np.testing.assert_array_equal(a.sparse_set, b.sparse_set)
+            if a.M is not None:
+                np.testing.assert_array_equal(a.M, b.M)
+            assert a.n_observed == b.n_observed
+        else:
+            np.testing.assert_array_equal(a.kmers, b.kmers)
+
+
+def test_multihost_cli_sequential(tmp_path):
+    """CLI flow: host 1 writes its segment + state, then host 0 merges the
+    counter states into the final report; the concatenated kraken segments
+    (manifest order) equal the single-host CLI output."""
+    reads = os.path.join(DATA, "reads.fa")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # before interpreter start: sitecustomize honors it
+
+    def run(extra, out, rep):
+        r = subprocess.run(
+            [sys.executable, "-m", "krakenuniq_tpu.cli.main", "--db", DATA,
+             reads, "--output", out, "--report-file", rep] + extra,
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    s_out, s_rep = str(tmp_path / "s.out"), str(tmp_path / "s.tsv")
+    run([], s_out, s_rep)
+
+    o1, r1 = str(tmp_path / "h1.out"), str(tmp_path / "h1.tsv")
+    run(["--multihost", "1/2"], o1, r1)
+    o0, r0 = str(tmp_path / "h0.out"), str(tmp_path / "h0.tsv")
+    run(["--multihost", "0/2", "--multihost-merge", f"{r1}.state.1"], o0, r0)
+
+    from krakenuniq_tpu.parallel.multihost import merge_kraken_outputs
+
+    parts = []
+    for p in (o0, o1):
+        with open(p + ".manifest") as mf:
+            parts.append((p, json.load(mf)))
+    merged = tmp_path / "merged.out"
+    merge_kraken_outputs(str(merged), parts)
+    assert merged.read_bytes() == open(s_out, "rb").read()
+
+    body = lambda p: [l for l in open(p) if not l.startswith("#")]
+    assert body(r0) == body(s_rep)
+
+
+def _dist_worker(pid, tmpdir):
+    import traceback
+
+    log = open(os.path.join(tmpdir, f"w{pid}.log"), "w")
+    sys.stdout = sys.stderr = log
+    try:
+        from krakenuniq_tpu.parallel.multihost import initialize
+
+        my_pid, nprocs = initialize(
+            "127.0.0.1:29821", num_processes=2, process_id=pid, platform="cpu"
+        )
+        assert (my_pid, nprocs) == (pid, 2)
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = jax.devices()  # global device set across both processes
+        assert len(devs) >= 2
+        mesh = Mesh(np.array(devs).reshape(len(devs)), ("data",))
+        x = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")),
+            np.full(len(jax.local_devices()), 1.0, np.float32),
+        )
+        s = jax.jit(lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P()))(x)
+        total = float(np.asarray(s.addressable_shards[0].data))
+        assert total == len(devs), total
+        print("DIST_OK", pid, len(devs), flush=True)
+    except Exception:
+        traceback.print_exc()
+    finally:
+        log.flush()
+
+
+def test_distributed_initialize_psum(tmp_path):
+    """jax.distributed bring-up over 2 CPU processes (gloo): a psum over the
+    GLOBAL device mesh executes across processes -- the DCN collective path
+    deployments use for cross-host device-state merges."""
+    ctx = mp.get_context("spawn")
+    ps = [
+        ctx.Process(target=_dist_worker, args=(i, str(tmp_path)))
+        for i in range(2)
+    ]
+    [p.start() for p in ps]
+    [p.join(timeout=240) for p in ps]
+    for p in ps:
+        if p.is_alive():
+            p.terminate()
+            pytest.fail("distributed worker hung")
+    for i in range(2):
+        log = open(tmp_path / f"w{i}.log").read()
+        assert f"DIST_OK {i}" in log, log[-1500:]

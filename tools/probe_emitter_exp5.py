@@ -42,6 +42,13 @@ def main():
     h = jax.device_put(rng.integers(0, 2**64, size=NQ, dtype=np.uint64))
     print(f"queries {NQ/1e6:.2f}M", flush=True)
 
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("shift",))
+    def g(tab, h, shift):
+        r = (h >> np.uint64(shift)).astype(jnp.int32)
+        return jnp.sum(jnp.take(tab, r, axis=0))
+
     for wlog in (1, 2, 3, 4, 5):
         w = 1 << wlog
         lb = TOTAL_LOG2 - wlog
@@ -50,19 +57,13 @@ def main():
                 np.uint32
             )
         )
-        shift = np.uint64(64 - lb)
-
-        @jax.jit
-        def g(h, tab=tab, shift=shift):
-            r = (h >> shift).astype(jnp.int32)
-            return jnp.sum(jnp.take(tab, r, axis=0))
-
-        ms = timeit(g, h)
+        ms = timeit(g, tab, h, 64 - lb)
         print(
             f"1 row x {w:2d} u32 ({(1<<lb)*w*4>>20}MB): {ms:8.2f} ms "
             f"({ms*1e6/NQ:5.2f} ns/idx)",
             flush=True,
         )
+        del tab
 
     # tiny (VMEM-resident) wide-row gather: the stash probe cost model
     for lb, w in ((12, 4), (14, 4)):
@@ -71,14 +72,7 @@ def main():
                 np.uint32
             )
         )
-        shift = np.uint64(64 - lb)
-
-        @jax.jit
-        def g2(h, tab=tab, shift=shift):
-            r = (h >> shift).astype(jnp.int32)
-            return jnp.sum(jnp.take(tab, r, axis=0))
-
-        ms = timeit(g2, h)
+        ms = timeit(g, tab, h, 64 - lb)
         print(
             f"tiny 2^{lb} x {w} u32 ({(1<<lb)*w*4>>10}KB): {ms:8.2f} ms "
             f"({ms*1e6/NQ:5.2f} ns/idx)",
