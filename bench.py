@@ -86,7 +86,9 @@ def main():
     read_len = int(os.environ.get("BENCH_READ_LEN", 150))
     reps = int(os.environ.get("BENCH_REPS", 6))
     n_bench_reads = int(os.environ.get("BENCH_PIPELINE_READS", 1_000_000))
-    n_warm_reads = 2 * batch
+    # warmup covers every padding bucket the timed pass can hit (full spans
+    # plus a small tail) so no compile lands inside a timed pass
+    n_warm_reads = 2 * batch + 4096
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 0))  # 0 = no gating
 
     # ---- persistent reference-layout DB dir (built once, reused) ---------

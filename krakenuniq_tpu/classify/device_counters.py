@@ -145,6 +145,7 @@ class DeviceCounters:
         pool_dense: np.ndarray | None = None,
         sparse_cap: int = 1 << 17,
         counts_only: bool = False,
+        host_stats: bool = False,
     ):
         """pool_dense: the dense taxon ids that can ever be COUNTED -- the
         distinct database values (misses count under 0). None falls back to
@@ -152,14 +153,20 @@ class DeviceCounters:
         buffer slots for the sparse-exact stats (0 = estimate-compat only,
         no sparse tracking). counts_only: accumulate read/k-mer counters but
         no HLL registers (--exact mode: the distinct-k-mer sets fold on host
-        while the counters stay device-resident)."""
+        while the counters stay device-resident). host_stats: keep the
+        sparse-regime tracking but compute the per-span stats on HOST from
+        the fetched planes -- still bit-exact, used when ids exceed the
+        device packing's 2^25 taxon field (sparse_exact.TAXON_BITS)."""
         self.p = p
         self.m = 1 << p
         self.n_taxa = n_taxa
         self.counts_only = counts_only
-        self.sparse_cap = 0 if counts_only else sparse_cap
+        self.host_stats = host_stats and not counts_only
+        self.sparse_cap = 0 if (counts_only or self.host_stats) else sparse_cap
         sparse_cap = self.sparse_cap
-        self.tracker = SparseTracker() if sparse_cap > 0 else None
+        self.tracker = (
+            SparseTracker() if (sparse_cap > 0 or self.host_stats) else None
+        )
         if counts_only:
             pool = np.zeros(1, dtype=np.int64)  # register plane unused
         elif pool_dense is None:
@@ -195,6 +202,14 @@ class DeviceCounters:
         and defers the buffer fetch to span finish instead."""
         if self.tracker is not None and unit_id is None:
             unit_id = np.zeros(int(taxa_dense.shape[0]), np.uint8)
+        if self.host_stats:
+            self.consume_host(
+                np.asarray(taxa_dense),
+                np.asarray(enc),
+                np.asarray(hll_lanes),
+                unit_bounds=None,
+                unit_id=np.asarray(unit_id),
+            )
         out = _update(
             self.reg,
             self.kmer_counts,
@@ -211,7 +226,7 @@ class DeviceCounters:
             self.counts_only,
         )
         self.reg, self.kmer_counts, self.read_counts = out[:3]
-        if self.tracker is not None:
+        if self.tracker is not None and len(out) > 3:
             buf, n_p, n_e = out[3:]
             if not self.tracker.consume_buffer(
                 np.asarray(buf), int(n_p), int(n_e)

@@ -590,6 +590,29 @@ class Classifier:
         # non-UID modes carry taxa_dense (the original-id "taxa" plane costs
         # a ~90ms full-batch element-gather to materialize; overflow rows are
         # mapped back through taxid_table on host)
+        # device-counters sparse tracking: ids past the device packing's
+        # 2^25 taxon field fall back to HOST-computed per-span stats --
+        # slower (three extra planes fetched) but still bit-exact
+        from .sparse_exact import TAXON_BITS
+
+        self._dc_host_stats = False
+        if (
+            self.opts.device_counters
+            and not self.opts.exact
+            and self.opts.sparse_cap > 0
+        ):
+            if self.uid_map is not None:
+                too_big = len(self.uid_map) + 1 >= (1 << TAXON_BITS)
+            else:
+                too_big = pool is None and tax.size >= (1 << TAXON_BITS)
+            if too_big:
+                self._dc_host_stats = True
+                print(
+                    "note: id space exceeds the device sparse-stats packing "
+                    f"(2^{TAXON_BITS}); sparse-regime tracking runs on host "
+                    "(slower, still bit-exact)",
+                    file=sys.stderr,
+                )
         if self._cfg.max_runs > 0:
             if self.uid_map is not None:
                 # with device counters the uid-keyed accumulation is fused
@@ -597,7 +620,7 @@ class Classifier:
                 # (uid resolve + RLE overflow) come back
                 if self.opts.device_counters:
                     span_outputs = ("packed", "taxa", "ambig")
-                    if self.mesh is not None:
+                    if self.mesh is not None or self._dc_host_stats:
                         span_outputs = span_outputs + ("enc", "hll_lanes")
                 else:
                     span_outputs = ("packed", "taxa", "ambig", "hll_pairs")
@@ -613,6 +636,8 @@ class Classifier:
                     # mesh runs the counter update as a separate program on
                     # the sharded outputs (no fused classify_and_count)
                     span_outputs = span_outputs + ("enc", "hll_lanes", "call_dense")
+                elif self._dc_host_stats:
+                    span_outputs = span_outputs + ("enc", "hll_lanes")
             elif self._cfg.dense_runs:
                 span_outputs = ("packed", "taxa_dense", "ambig", "hll_enc", "hll_dense")
             else:
@@ -730,14 +755,9 @@ class Classifier:
                 # host-resolved taxid and fold through self.counter
                 n_uid = len(self.uid_map) + 1
                 uid_vals = self._uid_value_set()
-                if sparse_cap > 0 and n_uid >= (1 << TAXON_BITS):
-                    raise ValueError(
-                        f"--device-counters sparse-exact tracking supports "
-                        f"uid spaces under 2^{TAXON_BITS} (got {n_uid}); "
-                        f"set sparse_cap=0 for estimate-level compat"
-                    )
                 self.dev_counters = DeviceCounters(
-                    n_uid, effective_p, pool_dense=uid_vals, sparse_cap=sparse_cap
+                    n_uid, effective_p, pool_dense=uid_vals,
+                    sparse_cap=sparse_cap, host_stats=self._dc_host_stats,
                 )
             elif pool is not None:
                 # pool mode: the device id space IS the value closure --
@@ -760,14 +780,9 @@ class Classifier:
                 reg_pool = np.unique(
                     np.concatenate([np.unique(v) for v in vds if v is not None])
                 )
-                if sparse_cap > 0 and tax.size >= (1 << TAXON_BITS):
-                    raise ValueError(
-                        f"--device-counters sparse-exact tracking supports "
-                        f"taxonomies under 2^{TAXON_BITS} nodes (got {tax.size}); "
-                        f"set sparse_cap=0 for estimate-level compat"
-                    )
                 self.dev_counters = DeviceCounters(
-                    tax.size, effective_p, pool_dense=reg_pool, sparse_cap=sparse_cap
+                    tax.size, effective_p, pool_dense=reg_pool,
+                    sparse_cap=sparse_cap, host_stats=self._dc_host_stats,
                 )
 
     def _round_mesh(self, b: int) -> int:
@@ -1603,6 +1618,19 @@ class Classifier:
                         np.asarray(fb["hll_lanes"])[:n_span],
                         unit_bounds=unit_bounds,
                     )
+            if self.dev_counters.host_stats and self.mesh is None:
+                # ids exceed the device sparse-stats packing: per-span
+                # regime stats computed on host (mesh/python paths consume
+                # inside update() instead)
+                plane = np.asarray(
+                    out["taxa" if self.uid_map is not None else "taxa_dense"]
+                )[:n_span].astype(np.int64)
+                self.dev_counters.consume_host(
+                    plane,
+                    np.asarray(out["enc"])[:n_span],
+                    np.asarray(out["hll_lanes"])[:n_span],
+                    unit_bounds=unit_bounds,
+                )
             if opts.exact:
                 # device holds the counters; the khset-equivalent sets fold
                 # on host from the canon plane (span-wide: set union needs

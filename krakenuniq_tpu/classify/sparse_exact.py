@@ -49,28 +49,26 @@ UNIT_BITS = 6  # spans are capped at 64 work units (pipeline._iter_native_spans)
 MAX_UNITS = 1 << UNIT_BITS
 
 
-def _seg_or(a, b):
-    ra, va = a
-    rb, vb = b
-    return ra | rb, jnp.where(rb, vb, va | vb)
+def _seg_cumsum(reset, vals):
+    """Segmented inclusive cumsum (vals >= 0): cumsum minus the running
+    value at the segment start. The start values are recovered with a plain
+    cummax -- the global cumsum is nondecreasing, so the most recent reset
+    holds the running max of `S - vals` over reset lanes. Native cumsum/
+    cummax ops keep the XLA graph tiny (an associative_scan formulation of
+    these four scans cost ~4 minutes of remote compile time at B=8192)."""
+    s = jnp.cumsum(vals)
+    start = jax.lax.cummax(jnp.where(reset, s - vals, jnp.int64(-1)))
+    return s - start
 
 
-def _seg_max(a, b):
-    ra, va = a
-    rb, vb = b
-    return ra | rb, jnp.where(rb, vb, jnp.maximum(va, vb))
-
-
-def _seg_sum(a, b):
-    ra, va = a
-    rb, vb = b
-    return ra | rb, jnp.where(rb, vb, va + vb)
-
-
-def _seg_scan(op, reset, vals):
-    """Segmented inclusive scan: `reset[i]` starts a new segment at i."""
-    _, out = jax.lax.associative_scan(op, (reset, vals))
-    return out
+def _seg_cummax(reset, vals, val_bits):
+    """Segmented inclusive cummax (vals >= -1, vals + 1 < 2^val_bits):
+    pack (segment_id, val) into one monotone-by-segment i64 key and take a
+    plain cummax."""
+    seg = jnp.cumsum(reset.astype(jnp.int64))
+    packed = (seg << jnp.int64(val_bits)) | (vals + jnp.int64(1))
+    m = jax.lax.cummax(packed)
+    return (m & jnp.int64((1 << val_bits) - 1)) - jnp.int64(1)
 
 
 def sparse_stats_core(
@@ -111,9 +109,11 @@ def sparse_stats_core(
     pe = jnp.concatenate([ks[1:] != ks[:-1], one]) & valid  # pair last
     ge = jnp.concatenate([gk[1:] != gk[:-1], one]) & valid  # group last
 
+    # packing headroom for the cummax trick: positions and counts are < n
+    pos_bits = max(2, int(n - 1).bit_length() + 2)
     # per-pair: max stream position and whether the pair is a singleton
-    pair_maxpos = _seg_scan(_seg_max, pb, ps)
-    pair_cnt = _seg_scan(_seg_sum, pb, jnp.ones(n, jnp.int64))
+    pair_maxpos = _seg_cummax(pb, ps, pos_bits)
+    pair_cnt = _seg_cumsum(pb, jnp.ones(n, jnp.int64))
     # group max over pair-end values (maxpos << 1 | singleton): stream
     # positions are unique, so the max belongs to the pair holding the
     # group's LAST stream position; its low bit says that last insert was a
@@ -121,20 +121,20 @@ def sparse_stats_core(
     v_pair = jnp.where(
         pe, (pair_maxpos << jnp.int64(1)) | (pair_cnt == 1), jnp.int64(-1)
     )
-    edge_v = _seg_scan(_seg_max, gb, v_pair)
+    edge_v = _seg_cummax(gb, v_pair, pos_bits + 1)
     # distinct-pair count within the group, inclusive; at ge it is d
-    d_sofar = _seg_scan(_seg_sum, gb, pb.astype(jnp.int64))
+    d_sofar = _seg_cumsum(gb, pb.astype(jnp.int64))
 
     stays_end = (d_sofar < th) | (
         (d_sofar == th) & ((edge_v & jnp.int64(1)) == 1)
     )
     # broadcast the group-end decision to every lane of the group: in
     # reversed order each group starts at its (original) end, which carries
-    # the decision; a segmented OR-scan spreads it
-    stays_rev = _seg_scan(
-        _seg_or, jnp.flip(ge), jnp.flip(ge & stays_end)
+    # the decision; a segmented max-scan spreads it
+    stays_rev = _seg_cummax(
+        jnp.flip(ge), jnp.flip(ge & stays_end).astype(jnp.int64), 2
     )
-    stays_lane = jnp.flip(stays_rev)
+    stays_lane = jnp.flip(stays_rev) > 0
 
     emit_pair = pb & stays_lane
     emit_event = ge & ~stays_lane & valid

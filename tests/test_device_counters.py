@@ -161,6 +161,33 @@ def test_device_counters_uid_mode():
     assert ra.getvalue() == rb.getvalue()
 
 
+def test_device_counters_host_stats_fallback(monkeypatch):
+    """Id spaces past the device sparse-stats packing (2^TAXON_BITS) fall
+    back to host-computed per-span stats -- still bit-exact. Forced here by
+    shrinking the packing limit below the fixture's taxonomy."""
+    from krakenuniq_tpu.classify import sparse_exact
+
+    monkeypatch.setattr(sparse_exact, "TAXON_BITS", 2)
+    reads = os.path.join(DATA, "reads.fa")
+    ka, kb = io.StringIO(), io.StringIO()
+    ca = Classifier([DATA], ClassifyOptions(print_progress=False, value_pool=False))
+    ca.run([reads], kraken_fh=ka)
+    cb = Classifier(
+        [DATA],
+        ClassifyOptions(
+            print_progress=False, device_counters=True, value_pool=False
+        ),
+    )
+    assert cb.dev_counters.host_stats
+    assert cb.dev_counters.sparse_cap == 0
+    cb.run([reads], kraken_fh=kb)
+    assert ka.getvalue() == kb.getvalue()
+    ra, rb = io.StringIO(), io.StringIO()
+    ca.write_report(ra)
+    cb.write_report(rb)
+    assert ra.getvalue() == rb.getvalue()
+
+
 def test_device_counters_overflow_fallback():
     """A tiny sparse buffer forces the host-stats fallback for every span;
     results stay bit-identical and the overflow is counted."""
