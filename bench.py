@@ -322,6 +322,30 @@ def main():
         phase_ms={p: round(v, 2) for p, v in phases.items()},
     )
     emit("microbench")
+
+    # ---- stage: value-pool FALLBACK shape (VERDICT r2 #7) ----------------
+    # A database whose LCA-closed value set exceeds u16 cannot use the value
+    # pool: the table stores dense taxonomy ids and every span builds a
+    # local taxon dictionary on device (device_step.py local_dict). Measure
+    # that path's end-to-end rate by forcing value_pool off on the same DB
+    # (the id space is what changes, not the data).
+    if os.environ.get("BENCH_POOL_FALLBACK", "1") != "0":
+        del c_exact
+        t_fb = time.time()
+        c_fb = Classifier(
+            [db_dir],
+            ClassifyOptions(print_progress=False, value_pool=False),
+        )
+        print(
+            f"fallback (dense ids + local_dict) load+build+upload "
+            f"{time.time()-t_fb:.1f}s",
+            file=sys.stderr,
+        )
+        assert c_fb._pool is None
+        assert c_fb._cfg.local_dict or tax_nodes <= 0xFFFF
+        fb_rps = run_mode(c_fb, "pool_fallback", timed_passes=1)
+        RESULT["pool_fallback_reads_per_s"] = round(fb_rps, 1)
+        emit("pool_fallback")
     td_ctx.cleanup()
 
 

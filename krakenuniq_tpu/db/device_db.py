@@ -216,8 +216,10 @@ def load_database_dir(
         pool = build_value_pool([vals_dense], taxonomy)
     # dense/pool values depend on the taxonomy, so the cache is keyed on both
     # files; the cached table's value space (pool rows) must equal the pool
-    # in use -- a multi-DB joint pool differs from the single-DB one
-    ht_path = kdb_path + ".ht"
+    # in use -- a multi-DB joint pool differs from the single-DB one. Dense
+    # (pool-less) tables cache separately so alternating modes don't evict
+    # each other's multi-GB builds
+    ht_path = kdb_path + (".ht" if pool is not None else ".ht_dense")
     cached = load_ht_cache(ht_path, kdb_path, taxdb_path, uid_database)
     if cached is not None:
         extra = cached[2] or {}

@@ -99,17 +99,18 @@ def _probe(planes, h, lb: int):
     return _probe_rows(planes[0], planes[1], h, lb)
 
 
-# Gather-emitter pathology note (measured on v5e, 8.5M queries, [2^22, 4]
-# u32 table): probing hashes that arrive as a device_put INPUT runs at
-# ~9.5ms; the identical probe fused behind the unpack/window/murmur producer
-# runs ~120ms. Attempted fixes that do NOT help: optimization_barrier on the
-# hash value, splitting into two jit programs (the producer's OUTPUT layout
-# probes at ~138ms), an identity u64->u32->u64 bitcast round-trip, and
-# recomputing all index/tag math in pure-u32 limbs. The slow emitter also
-# appears on a [53, 2] remap table inside the counter-update program (see
-# device_counters.py, which sidesteps it with a global-key sort). Until a
-# reliable in-program boundary is found, the probe's cost ceiling is the
-# slow emitter; the classify step still clears 50M lookups/s at B=65536.
+# Probe cost model (corrected in round 3; full data in BENCHNOTES.md).
+# The round-2 "gather-emitter pathology" was a measurement artifact: with a
+# proper completion barrier, probing device_put hashes, fused
+# producer+probe, and split programs all time identically (~120ms at 8.5M
+# queries on a 64MB table). XLA:TPU row gathers cost ~6.7-12.9 ns per
+# random row regardless of index locality (sorted == random) or producer
+# fusion; narrower rows, element gathers, u64 gathers, and sort-then-gather
+# are all equal or worse. Two 16B bucket rows per query (~25.6 ns at
+# reference scale) is therefore within ~1.6x of XLA's floor for ANY
+# exact two-location scheme, and the layout stays. Single-element gathers
+# from computed indices remain slow (~8.9 ns/element) -- which is why
+# device_counters.py uses a global-key sort instead of a remap gather.
 
 
 @functools.partial(jax.jit, static_argnames=("lb",))
