@@ -117,7 +117,9 @@ def test_pipeline_pool_equals_dense(tmp_path):
         rep = io.StringIO()
         c.write_report(rep)
         outs[vp] = (kr.getvalue(), rep.getvalue())
-        os.unlink(d / "database.kdb.ht")  # separate table builds per mode
+        # pool and dense tables cache to different files (.ht / .ht_dense)
+        (d / "database.kdb.ht").unlink(missing_ok=True)
+        (d / "database.kdb.ht_dense").unlink(missing_ok=True)
         (d / "database.kdb.counts").unlink(missing_ok=True)
     assert outs[True][0] == outs[False][0]
     assert outs[True][1] == outs[False][1]
