@@ -52,6 +52,7 @@ def update_core(
     unit_id: jax.Array | None = None,  # uint8 [B]: work-unit index per row
     sparse_cap: int = 0,  # >0: also return sparse-exact stats (buf, n_p, n_e)
     counts_only: bool = False,  # skip registers/tracking (--exact: sets live on host)
+    identity_pool: bool = False,  # register rows ARE the id space (pool mode)
 ):
     """Pure accumulation body; jitted standalone below and fused into the
     classify step by the pipeline (one dispatch, overlapped with the lookup
@@ -73,9 +74,19 @@ def update_core(
     read_counts = read_counts + jnp.bincount(
         jnp.where(row_valid, call_dense, t), length=t + 1
     )[:t].astype(jnp.int64)
-    kmer_counts = kmer_counts + jnp.bincount(
-        jnp.where(lanes, taxa_flat, t), length=t + 1
-    )[:t].astype(jnp.int64)
+    if t <= (1 << 17):
+        # per-id k-mer counts from an i32 sort + t+1 boundary probes: the
+        # sort runs ~26ms at 8.5M lanes where bincount's scatter-add costs
+        # 80-500ms (BENCHNOTES.md §5)
+        st = jax.lax.sort(jnp.where(lanes, taxa_flat, jnp.int32(t)))
+        edges = jnp.searchsorted(
+            st, jnp.arange(t + 1, dtype=jnp.int32), side="left"
+        )
+        kmer_counts = kmer_counts + (edges[1:] - edges[:-1]).astype(jnp.int64)
+    else:
+        kmer_counts = kmer_counts + jnp.bincount(
+            jnp.where(lanes, taxa_flat, t), length=t + 1
+        )[:t].astype(jnp.int64)
     if counts_only:
         return (reg, kmer_counts, read_counts) + sp
 
@@ -92,6 +103,15 @@ def update_core(
     )
     plain_rank = (clz + jnp.uint32(1)).astype(jnp.uint8)
     rank = jnp.where(flagged, flag_rank, plain_rank)
+
+    if identity_pool:
+        # pool mode: dense ids ARE register rows -- direct scatter-max, no
+        # remap gather and no sort (measured ~105ms vs ~420ms for the
+        # sort+searchsorted formulation at 8.5M lanes, BENCHNOTES.md §5)
+        flat_slot = jnp.where(lanes, safe_taxa * m + idx, pm)
+        reg_flat = jnp.concatenate([reg.reshape(-1), jnp.zeros(m, jnp.uint8)])
+        reg_flat = reg_flat.at[flat_slot].max(jnp.where(lanes, rank, jnp.uint8(0)))
+        return (reg_flat[:pm].reshape(pool, m), kmer_counts, read_counts) + sp
 
     if pm <= (1 << 22):
         # sort-based segment max over GLOBAL slot keys -- no per-lane
@@ -133,7 +153,7 @@ def update_core(
 _update = functools.partial(
     jax.jit,
     donate_argnums=(0, 1, 2),
-    static_argnames=("p", "sparse_cap", "counts_only"),
+    static_argnames=("p", "sparse_cap", "counts_only", "identity_pool"),
 )(update_core)
 
 
@@ -173,6 +193,11 @@ class DeviceCounters:
             pool = np.arange(n_taxa, dtype=np.int64)
         else:
             pool = np.unique(np.concatenate([[0], np.asarray(pool_dense, np.int64)]))
+        # register rows == id space (value-pool mode): registers update by
+        # direct scatter-max instead of the sort+probe translation
+        self.identity_pool = (
+            not counts_only and pool_dense is None and len(pool) == n_taxa
+        )
         self.pool = pool
         lut = np.zeros(n_taxa, dtype=np.int32)  # unpooled taxa alias row 0
         lut[pool] = np.arange(len(pool), dtype=np.int32)
@@ -224,6 +249,7 @@ class DeviceCounters:
             unit_id,
             self.sparse_cap if self.tracker is not None else 0,
             self.counts_only,
+            self.identity_pool,
         )
         self.reg, self.kmer_counts, self.read_counts = out[:3]
         if self.tracker is not None and len(out) > 3:

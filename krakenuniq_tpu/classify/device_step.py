@@ -518,6 +518,7 @@ def _classify_and_count_core(
     p: int,
     sparse_cap: int = 0,
     counts_only: bool = False,
+    identity_pool: bool = False,
 ):
     """Classify step with the --device-counters accumulation fused into the
     same XLA program: one dispatch per span, and the accumulation scatters
@@ -552,6 +553,7 @@ def _classify_and_count_core(
         unit_id,
         sparse_cap,
         counts_only,
+        identity_pool,
     )
     if cfg.outputs is not None:
         out = {k: out[k] for k in cfg.outputs}
@@ -560,6 +562,6 @@ def _classify_and_count_core(
 
 classify_and_count = jax.jit(
     _classify_and_count_core,
-    static_argnames=("cfg", "p", "sparse_cap", "counts_only"),
+    static_argnames=("cfg", "p", "sparse_cap", "counts_only", "identity_pool"),
     donate_argnums=(0, 1, 2),
 )

@@ -1304,6 +1304,7 @@ class Classifier:
                 self.dev_counters.p,
                 self.dev_counters.sparse_cap,
                 self.dev_counters.counts_only,
+                self.dev_counters.identity_pool,
             )
             self.dev_counters.set_state(state)
             if sp:
@@ -1507,6 +1508,7 @@ class Classifier:
                 self.dev_counters.p,
                 self.dev_counters.sparse_cap,
                 self.dev_counters.counts_only,
+                self.dev_counters.identity_pool,
             )
             self.dev_counters.set_state(state)
             if sp:

@@ -56,6 +56,37 @@ def main():
     )
     np.asarray(out["packed"])
     print(f"B={b} cap={sparse_cap}: compile+run {time.time()-t0:.1f}s", flush=True)
+    dc.set_state(state)
+    reps = int(os.environ.get("DC_PROBE_REPS", 4))
+    t1 = time.time()
+    for _ in range(reps):
+        out, state, sp = classify_and_count(
+            *dc.state(), dc.pool_maps, (planes,), taxid_table, *targs, root,
+            codes, ambig, lengths, np.int32(b), unit_id, cfg, 12, sparse_cap,
+        )
+        dc.set_state(state)
+        np.asarray(dc.kmer_counts[:8])  # tiny sync
+        if sp:
+            np.asarray(sp[0][:8])
+    print(
+        f"B={b} cap={sparse_cap}: steady {1e3*(time.time()-t1)/reps:.0f} ms/step",
+        flush=True,
+    )
+    from krakenuniq_tpu.classify.device_step import classify_step
+
+    t2 = time.time()
+    out2 = classify_step(
+        (planes,), taxid_table, *targs, root, codes, ambig, lengths, cfg,
+    )
+    np.asarray(out2["packed"])
+    print(f"plain classify compile+run {time.time()-t2:.1f}s", flush=True)
+    t3 = time.time()
+    for _ in range(reps):
+        out2 = classify_step(
+            (planes,), taxid_table, *targs, root, codes, ambig, lengths, cfg
+        )
+        np.asarray(out2["packed"][:8])
+    print(f"plain classify steady {1e3*(time.time()-t3)/reps:.0f} ms/step", flush=True)
 
 
 if __name__ == "__main__":
