@@ -156,10 +156,25 @@ def main():
     emit("load")
 
     # ---- read sets -------------------------------------------------------
+    # Species abundance follows a zipf law by default -- real metagenomes
+    # are dominated by a few organisms with a long low-abundance tail (the
+    # reference's own benchmark sample, a human eye metagenome, is such a
+    # community; paper.md:122). BENCH_ABUNDANCE=uniform restores the flat
+    # draw (adversarial for sparse-regime tracking: every taxon sits just
+    # under the m/4 dense threshold in every work unit).
+    abundance = os.environ.get("BENCH_ABUNDANCE", "zipf1.5")
+    RESULT["read_abundance"] = abundance
+
     def write_reads(path, n_reads, seed=3):
         rng = np.random.default_rng(seed)
         sids = list(genomes)
-        gsel = rng.integers(len(sids), size=n_reads)
+        if abundance.startswith("zipf"):
+            s = float(abundance[4:] or 1.5)
+            w = 1.0 / np.arange(1, len(sids) + 1, dtype=np.float64) ** s
+            cdf = np.cumsum(w) / w.sum()
+            gsel = np.searchsorted(cdf, rng.random(n_reads))
+        else:
+            gsel = rng.integers(len(sids), size=n_reads)
         starts = rng.integers(0, genome_len - read_len, size=n_reads)
         with open(path, "w") as f:
             chunk = []
@@ -199,6 +214,8 @@ def main():
         c.write_report(rep)
         rep_s = time.time() - t_r
         print(f"  report {rep_s:.2f}s", file=sys.stderr)
+        if c.dev_counters is not None and c.dev_counters.tracker is not None:
+            RESULT[f"{tag}_sparse_overflow_spans"] = c.dev_counters.tracker.overflows
         best = n_bench_reads / min(per_pass)
         RESULT[f"{tag}_pass_s"] = [round(x, 2) for x in per_pass]
         RESULT[f"{tag}_report_s"] = round(rep_s, 2)

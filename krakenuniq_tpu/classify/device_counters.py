@@ -253,10 +253,7 @@ class DeviceCounters:
         )
         self.reg, self.kmer_counts, self.read_counts = out[:3]
         if self.tracker is not None and len(out) > 3:
-            buf, n_p, n_e = out[3:]
-            if not self.tracker.consume_buffer(
-                np.asarray(buf), int(n_p), int(n_e)
-            ):
+            if not self.consume_sp(out[3:]):
                 # buffer overflow: redo the span's stats on host from the
                 # full planes (rare; these paths still hold them)
                 self.consume_host(
@@ -266,6 +263,19 @@ class DeviceCounters:
                     unit_bounds=None,
                     unit_id=np.asarray(unit_id),
                 )
+
+    def consume_sp(self, sp) -> bool:
+        """Fold one device sparse-stats buffer, fetching only its USED
+        prefix (the cap can be large without a per-span transfer cost);
+        False = overflow, the caller must fall back to host stats."""
+        buf, n_p, n_e = sp
+        n_p, n_e = int(n_p), int(n_e)
+        if n_p + n_e > buf.shape[0]:
+            self.tracker.overflows += 1
+            return False
+        return self.tracker.consume_buffer(
+            np.asarray(buf[: n_p + n_e]), n_p, n_e
+        )
 
     def consume_host(
         self, taxa_dense, enc, hll_lanes, unit_bounds=None, unit_id=None

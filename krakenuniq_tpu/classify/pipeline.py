@@ -86,9 +86,13 @@ class ClassifyOptions:
     # --device-counters sparse-exact buffer slots per span (u64 each). The
     # sparse-regime tracking makes the fast mode BIT-IDENTICAL to the host
     # path (classify/sparse_exact.py); 0 opts out (estimate-level compat,
-    # slightly faster). A span overflowing the buffer falls back to host
-    # stats for that span (rare; counted in dev_counters.tracker.overflows).
-    sparse_cap: int = 1 << 17
+    # slightly faster). Only the USED prefix of the buffer is fetched, so a
+    # large cap costs HBM (8B/slot), not transfer; a span's pair count ~=
+    # its counted lanes on taxa that stay under the m/4 sparse threshold
+    # within a work unit (the low-abundance tail). A span overflowing the
+    # buffer falls back to host stats (counted in
+    # dev_counters.tracker.overflows).
+    sparse_cap: int = 1 << 21
     # units per device dispatch are grouped up to this; bigger spans amortize
     # fixed per-dispatch transport overhead but pay bucket-padded device time
     # on tail spans (measured best at 65536 with 32MB input chunks)
@@ -1609,10 +1613,7 @@ class Classifier:
             # in the sparse-exact stats buffer (if tracking is on)
             sp = out.get("_sp")
             if sp is not None:
-                sp_buf, sp_np, sp_ne = sp
-                if not self.dev_counters.tracker.consume_buffer(
-                    np.asarray(sp_buf), int(sp_np), int(sp_ne)
-                ):
+                if not self.dev_counters.consume_sp(sp):
                     fb = dict(redispatch(self._cfg_sparse_fb))
                     self.dev_counters.consume_host(
                         np.asarray(fb[self._fb_id_key])[:n_span].astype(np.int64),
