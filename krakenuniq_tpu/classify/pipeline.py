@@ -1369,13 +1369,28 @@ class Classifier:
         if self._cfg.max_runs > 0:
             fetch_rows = min(b, -(-n_span // 8192) * 8192)
             if fetch_rows < b:
-                for key in ("packed", "hll_pairs", "hll_enc", "hll_dense", "hll_lanes", "canon"):
+                slice_keys = ("packed", "hll_pairs", "hll_enc", "hll_dense", "hll_lanes", "canon")
+                if self.opts.exact:
+                    slice_keys = slice_keys + ("taxa",)
+                for key in slice_keys:
                     if key in out:
                         out[key] = out[key][:fetch_rows]
-        try:
-            out["packed" if self._cfg.max_runs > 0 else "call"].copy_to_host_async()
-        except (AttributeError, KeyError):
-            pass
+        # start D2H for EVERY plane this mode will read, not just the packed
+        # matrix: the exact-compat hll feed is ~6B/lane (tens of MB/span)
+        # and the device link is the pipeline bottleneck -- with
+        # _PIPELINE_DEPTH spans in flight the transfers overlap the newer
+        # spans' device time instead of serializing at finish
+        keys = ("packed", "hll_pairs", "hll_enc", "hll_dense", "call")
+        if self.opts.exact:
+            # the exact path reads these planes in full every span; other
+            # modes row-gather them on demand (overflow rows only), so
+            # forcing their transfer would cost, not save
+            keys = keys + ("taxa", "hll_lanes", "canon")
+        for key in keys:
+            try:
+                out[key].copy_to_host_async()
+            except (AttributeError, KeyError):
+                pass
 
     def _sharded_alt(self, cfg2: "StepConfig"):
         """Lazily-compiled sharded program for a fallback config (wide
