@@ -124,6 +124,10 @@ class ClassifyOptions:
     # budget share one pass of the chunk tables through HBM (the analogue of
     # the reference re-reading all reads per chunk, classify.cpp:587-648)
     ooc_group_bytes: int = 2 << 30
+    # device spans kept in flight: the device crunches the newest span(s)
+    # while the host formats/fetches the oldest; deeper pipelines hide more
+    # transfer latency at the cost of per-span output buffers staying live
+    pipeline_depth: int = 3
     # multi-host (DCN) input sharding: this process handles global device
     # spans s with s % n_hosts == host_id (parallel/multihost.py). The
     # kraken output holds only this host's spans (span_manifest records
@@ -1074,7 +1078,10 @@ class Classifier:
 
     # ------------------------------------------------------------ native path
 
-    _PIPELINE_DEPTH = 2  # spans in flight; absorbs device-link transfer jitter
+    @property
+    def _PIPELINE_DEPTH(self) -> int:
+        # spans in flight; absorbs device-link transfer jitter
+        return self.opts.pipeline_depth
 
     def _warm_link(self):
         """Absorb the device link's first-transfer ramp (observed: the first
