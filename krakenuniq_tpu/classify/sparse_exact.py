@@ -187,13 +187,18 @@ class SparseTracker:
     """Host-side fold of the per-span sparse statistics.
 
     State: the set of dense ids that ever went dense, and the union of
-    distinct (taxon, encoding) pairs of stayed-sparse groups, kept as ONE
-    sorted u64 array (taxon << 32 | enc) so each span folds in with a single
-    union1d."""
+    distinct (taxon, encoding) pairs of stayed-sparse groups as one sorted
+    u64 array (taxon << 32 | enc). Spans APPEND their pair keys to a
+    pending list; deduplication is amortized (compact when the appended
+    volume doubles the known union) -- a per-span union1d would re-sort
+    the whole union every span, O(spans * U log U) at scale (the same
+    quadratic fold the exact-compat accumulator had, accumulate.py)."""
 
     def __init__(self):
         self.dense_ever: set[int] = set()
         self._union = np.empty(0, np.uint64)
+        self._parts: list[np.ndarray] = []
+        self._n_pending = 0
         self.overflows = 0
 
     def add(self, pair_taxa: np.ndarray, pair_encs: np.ndarray, dense_taxa) -> None:
@@ -202,7 +207,18 @@ class SparseTracker:
             keys = (pair_taxa.astype(np.uint64) << np.uint64(32)) | pair_encs.astype(
                 np.uint64
             )
-            self._union = np.union1d(self._union, keys)
+            self._parts.append(keys)
+            self._n_pending += len(keys)
+            if self._n_pending > max(1 << 22, 2 * len(self._union)):
+                self._compact()
+
+    def _compact(self) -> None:
+        if self._parts:
+            self._union = np.unique(
+                np.concatenate([self._union] + self._parts)
+            )
+            self._parts = []
+            self._n_pending = 0
 
     def consume_buffer(self, buf: np.ndarray, n_pairs: int, n_events: int) -> bool:
         """Fold one device buffer; False = truncated (caller must fall back
@@ -222,6 +238,7 @@ class SparseTracker:
 
     def sparse_set_of(self, dense_id: int) -> np.ndarray:
         """Sorted distinct encodings of a (never-dense) taxon."""
+        self._compact()
         lo = np.uint64(dense_id) << np.uint64(32)
         hi = np.uint64(dense_id + 1) << np.uint64(32)
         s = np.searchsorted(self._union, lo, side="left")
