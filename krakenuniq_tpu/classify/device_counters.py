@@ -11,11 +11,13 @@ DATABASE VALUES (counted k-mers carry the DB's LCA taxon, classify.cpp:939)
 therefore [pool_size, m] over the sorted distinct dense values (plus 0 for
 misses), NOT [taxonomy_size, m]: a 2.4M-node NCBI taxonomy costs nothing
 beyond its actual value set. Read/k-mer counters stay full-width [T]
-(calls can land on any ancestor via resolve_tree). The dense->pool
-translation happens in POOL-SLOT space (a searchsorted over the sorted
-global slot keys) for small pools, never as a per-lane gather -- gathers
-whose indices derive from computed values run an order of magnitude slower
-on this XLA:TPU (see lookup/hash_lookup.py notes).
+(calls can land on any ancestor via resolve_tree). In value-pool mode the
+id space IS the register row space, so registers update by direct
+scatter-max and per-taxon counts come from an i32 sort plus boundary
+probes (measured fastest; bincount's scatter-add and the older
+sort+searchsorted translation cost 2-8x more -- BENCHNOTES.md §5); the
+sort+searchsorted translation remains for non-identity pools, and a plain
+remap-gather + scatter for very large ones.
 
 Bit-exactness: dense registers alone reproduce the reference only for taxa
 whose counters END dense. The sparse-regime tracking in sparse_exact.py
