@@ -168,6 +168,43 @@ def test_ooc_group_flush_boundary():
     assert out0 == out1 and rep0 == rep1
 
 
+def test_ambiguous_budget_resident_iff_pool_builds(tmp_path):
+    """A budget between the pooled and dense table estimates must go
+    resident exactly when the value pool actually builds (ADVICE r2: the
+    old estimate assumed the POOL_CAP narrowing always applied). Needs a
+    taxonomy past u16 so the estimates split; built synthetically."""
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+    from krakenuniq_tpu.db.chunked import table_bytes
+    from krakenuniq_tpu.db.pool import POOL_CAP
+    from krakenuniq_tpu.formats import write_index, write_kdb
+    from krakenuniq_tpu.utils.demo import make_demo_db
+
+    d = tmp_path / "bigtax_db"
+    d.mkdir()
+    keys, vals, offsets, tax, _g = make_demo_db(
+        n_species=4, genome_len=900, k=31, nt=7, pad_nodes=70_000
+    )
+    write_kdb(d / "database.kdb", keys, vals, k=31)
+    write_index(d / "database.idx", 7, np.asarray(offsets, dtype=np.uint64))
+    tax.write_taxdb(d / "taxDB")
+    est_pool = table_bytes(len(keys), min(tax.size - 1, POOL_CAP), False)
+    est_dense = table_bytes(len(keys), tax.size - 1, False)
+    assert est_dense > est_pool
+    budget = (est_pool + est_dense) // 2
+    c = Classifier(
+        [str(d)], ClassifyOptions(print_progress=False, preload_size=budget)
+    )
+    # the closure fits u16, so the pool builds -> resident
+    assert c._ooc is None and c._pool is not None
+    c2 = Classifier(
+        [str(d)],
+        ClassifyOptions(
+            print_progress=False, preload_size=budget, value_pool=False
+        ),
+    )
+    assert c2._ooc is not None  # dense table over budget -> streams
+
+
 @pytest.mark.parametrize(
     "mode,mesh",
     [
