@@ -43,7 +43,7 @@ RESULT = {
     "value": None,
     "unit": "reads/s",
     "vs_baseline": None,
-    "mode": "device_counters (bit-exact, sparse tracking on)",
+    "mode": None,  # set to the fastest bit-exact mode as stages complete
     "stages_done": [],
 }
 
@@ -223,25 +223,28 @@ def main():
         print(f"pipeline [{tag}]: {best:,.0f} reads/s", file=sys.stderr)
         return best
 
-    # ---- stage: device-counters (bit-exact fast mode; the headline) ------
-    dc_rps = run_mode(c_dc, "device_counters")
-    RESULT["value"] = round(dc_rps, 1)
-    RESULT["vs_baseline"] = round(dc_rps / BASELINE_READS_PER_S, 3)
-    emit("device_counters")
-
-    # ---- stage: exact-compat host accumulation (same loaded table) -------
+    # ---- stage: exact-compat host accumulation (FIRST: its programs
+    # compile in ~1-2 min where the fused counter program takes 5-10, so a
+    # timed-out run still records a headline) ----------------------------
     c_exact = Classifier.with_shared_db(
         c_dc, ClassifyOptions(print_progress=False)
     )
     ec_rps = run_mode(c_exact, "exact_compat", timed_passes=2)
     RESULT["exact_compat_reads_per_s"] = round(ec_rps, 1)
+    RESULT["value"] = round(ec_rps, 1)
+    RESULT["vs_baseline"] = round(ec_rps / BASELINE_READS_PER_S, 3)
+    RESULT["mode"] = "exact_compat (host accumulation, bit-exact)"
+    emit("exact_compat")
+
+    # ---- stage: device-counters (bit-exact fast mode) --------------------
+    dc_rps = run_mode(c_dc, "device_counters")
     # both accumulation modes are bit-exact (identical outputs/reports);
     # the headline is whichever ran faster this session
-    if ec_rps > dc_rps:
-        RESULT["value"] = round(ec_rps, 1)
-        RESULT["vs_baseline"] = round(ec_rps / BASELINE_READS_PER_S, 3)
-        RESULT["mode"] = "exact_compat (host accumulation, bit-exact)"
-    emit("exact_compat")
+    if dc_rps > ec_rps:
+        RESULT["value"] = round(dc_rps, 1)
+        RESULT["vs_baseline"] = round(dc_rps / BASELINE_READS_PER_S, 3)
+        RESULT["mode"] = "device_counters (bit-exact, sparse tracking on)"
+    emit("device_counters")
 
     # ---- stage: device-step microbench with phase breakdown --------------
     import jax.numpy as jnp
