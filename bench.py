@@ -349,6 +349,51 @@ def main():
     )
     emit("microbench")
 
+    # ---- stage: out-of-core streaming at scale (--preload-size) ----------
+    # The reference's own table records chunked classification at 1.9-3.4x
+    # the --preload wall time (paper.md:126-136). Same datapoint here: a
+    # budget forcing >=3 chunk tables streamed through HBM per span group.
+    # Gated on elapsed time: chunk-table build+compiles are minutes cold.
+    ooc_deadline = float(os.environ.get("BENCH_OOC_DEADLINE_S", 1800))
+    if (
+        os.environ.get("BENCH_OOC", "1") != "0"
+        and time.time() - t_start < ooc_deadline
+    ):
+        table_b = (1 << c_dc.dbs[0].hash_lb) * 16
+        try:
+            c_ooc = Classifier(
+                [db_dir],
+                ClassifyOptions(print_progress=False, preload_size=table_b // 3),
+            )
+        except ValueError:
+            c_ooc = None  # budget below the minimum chunk table (tiny DBs)
+        if c_ooc is not None and c_ooc._ooc is not None:
+            RESULT["ooc_chunks"] = c_ooc._ooc[0].n_chunks
+            n_ooc_reads = max(n_warm_reads, n_bench_reads // 4)
+            ooc_reads_path = os.path.join(td, "ooc_reads.fa")
+            write_reads(ooc_reads_path, n_ooc_reads)
+            sink = open(os.devnull, "w")
+            t_w = time.time()
+            c_ooc.run([warm_path], kraken_fh=sink)
+            print(f"pipeline [ooc] warmup: {time.time()-t_w:.2f}s", file=sys.stderr)
+            c_ooc.reset_counters()
+            t0 = time.time()
+            c_ooc.run([ooc_reads_path], kraken_fh=sink)
+            dt = time.time() - t0
+            RESULT["ooc_reads_per_s"] = round(n_ooc_reads / dt, 1)
+            RESULT["ooc_vs_resident"] = round(
+                RESULT["value"] / (n_ooc_reads / dt), 2
+            )
+            print(
+                f"pipeline [ooc, {RESULT['ooc_chunks']} chunks]: "
+                f"{n_ooc_reads/dt:,.0f} reads/s "
+                f"({RESULT['ooc_vs_resident']}x slower than resident; the "
+                f"reference's own chunked mode ran 1.9-3.4x slower)",
+                file=sys.stderr,
+            )
+            del c_ooc
+            emit("ooc")
+
     # ---- stage: value-pool FALLBACK shape (VERDICT r2 #7) ----------------
     # A database whose LCA-closed value set exceeds u16 cannot use the value
     # pool: the table stores dense taxonomy ids and every span builds a
