@@ -33,7 +33,9 @@ scans for per-pair and per-group statistics (no scatters, no computed-index
 gathers -- both are slow on XLA:TPU, see lookup/hash_lookup.py), then a
 second sort compacts the distinct pairs of stayed-sparse groups and the
 went-dense taxon events into one fixed-size buffer the host fetches
-(~1MB/span vs the ~6B/lane exact-compat feed it replaces).
+(only the used prefix transfers -- bytes scale with the workload's
+low-abundance tail, not the cap or the lane count; vs the ~6B/lane
+exact-compat feed it replaces).
 """
 
 from __future__ import annotations
