@@ -97,6 +97,48 @@ def test_multihost_merge_equals_single(tmp_path, kw):
     assert buf.getvalue() == ref_rep.getvalue()
 
 
+def test_multihost_composes_with_mesh(tmp_path):
+    """Cross-host span sharding composes with the per-host chip mesh (the
+    hosts x chips structure of SURVEY §5): 2 hosts, each driving a 1x2
+    minimizer-sharded mesh, merge byte-equal to the single-host single-chip
+    run at the same span geometry."""
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+    from krakenuniq_tpu.parallel.multihost import merge_counts, merge_kraken_outputs
+    from krakenuniq_tpu.report import TaxReport, DEFAULT_COLS
+
+    reads = os.path.join(DATA, "reads.fa")
+    geo = {"work_unit_size": 2000, "device_batch_reads": 64}
+    parts, merged_counts, first = [], {}, None
+    for hid in range(2):
+        c = Classifier(
+            [DATA],
+            ClassifyOptions(
+                print_progress=False, host_id=hid, n_hosts=2,
+                mesh_data=1, mesh_db=2, **geo
+            ),
+        )
+        kp = tmp_path / f"k{hid}.out"
+        with open(kp, "w") as fh:
+            c.run([reads], kraken_fh=fh)
+        parts.append((str(kp), c.span_manifest))
+        merge_counts(merged_counts, c.finalized_counts())
+        first = first or c
+    merged = tmp_path / "merged.out"
+    merge_kraken_outputs(str(merged), parts)
+    k_ref, _ = _single_host(reads, **geo)
+    assert merged.read_text() == k_ref
+    first.ensure_counts_files()
+    rep = TaxReport(first.taxonomy, merged_counts)
+    rep.set_cols(DEFAULT_COLS)
+    buf = io.StringIO()
+    rep.write(buf)
+    c_ref = Classifier([DATA], ClassifyOptions(print_progress=False, **geo))
+    c_ref.run([reads])
+    ref_rep = io.StringIO()
+    c_ref.write_report(ref_rep)
+    assert buf.getvalue() == ref_rep.getvalue()
+
+
 def test_multihost_state_roundtrip(tmp_path):
     """Counter-state files reload to equal counts (HLL sparse/dense, exact
     sets, and plain counters)."""
