@@ -34,10 +34,31 @@ def _single_host(reads, **kw):
     return out.getvalue(), rep.getvalue()
 
 
-@pytest.mark.parametrize("kw", [{}, {"device_counters": True}, {"exact": True}])
+def _tiny_budget():
+    from krakenuniq_tpu.db.chunked import table_bytes
+    from krakenuniq_tpu.formats.kdb import read_header
+    from krakenuniq_tpu.taxonomy import Taxonomy
+
+    tax = Taxonomy.from_taxdb_file(os.path.join(DATA, "taxDB"))
+    hdr = read_header(os.path.join(DATA, "database.kdb"))
+    return max(1024, table_bytes(hdr.key_ct, tax.size - 1, False) // 4)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"device_counters": True},
+        {"exact": True},
+        {"preload_size": "tiny"},
+    ],
+)
 def test_multihost_merge_equals_single(tmp_path, kw):
     """2-way span sharding: merged kraken output and the folded report are
-    byte-identical to the single-host run, in every accumulation mode."""
+    byte-identical to the single-host run — every accumulation mode plus
+    the out-of-core chunk engine."""
+    if kw.get("preload_size") == "tiny":
+        kw = {**kw, "preload_size": _tiny_budget()}
     from krakenuniq_tpu.classify import Classifier, ClassifyOptions
     from krakenuniq_tpu.parallel.multihost import (
         merge_counts,
