@@ -349,6 +349,58 @@ def main():
     )
     emit("microbench")
 
+    # ---- stage: byte-equality ON THIS DEVICE (VERDICT r3 #2) -------------
+    # All byte-exactness tests run on the CPU mesh; this proves it on the
+    # bench hardware itself. (a) exact-compat and device-counters classify
+    # the same reads in-process: kraken output and report strings must be
+    # identical. (b) the committed golden fixture (outputs of the reference
+    # C++ binaries) classifies on this chip and must reproduce kraken.out +
+    # report.tsv byte-for-byte (modulo the fixture's CPU-built .counts).
+    if os.environ.get("BENCH_BYTE_EQ", "1") != "0":
+        eq_n = int(os.environ.get("BENCH_EQ_READS", 131072))
+        eq_path = os.path.join(td, "eq_reads.fa")
+        write_reads(eq_path, eq_n, seed=11)
+        outs, reps_ = {}, {}
+        for tag, cc in (("exact_compat", c_exact), ("device_counters", c_dc)):
+            cc.reset_counters()
+            kb, rb = io.StringIO(), io.StringIO()
+            cc.run([eq_path], kraken_fh=kb)
+            cc.write_report(rb)
+            outs[tag], reps_[tag] = kb.getvalue(), rb.getvalue()
+        same = (
+            outs["exact_compat"] == outs["device_counters"]
+            and reps_["exact_compat"] == reps_["device_counters"]
+        )
+        RESULT["modes_byte_equal"] = bool(same)
+        print(
+            f"byte-equality on device ({eq_n} reads): exact_compat vs "
+            f"device_counters kraken+report {'IDENTICAL' if same else 'DIFFER'}",
+            file=sys.stderr,
+        )
+        emit("modes_byte_eq")
+
+        gold = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "data"
+        )
+        if os.path.exists(os.path.join(gold, "kraken.out")):
+            cg = Classifier([gold], ClassifyOptions(print_progress=False))
+            kb, rb = io.StringIO(), io.StringIO()
+            cg.run([os.path.join(gold, "reads.fa")], kraken_fh=kb)
+            cg.write_report(rb)
+            with open(os.path.join(gold, "kraken.out")) as f:
+                want_k = f.read()
+            with open(os.path.join(gold, "report.tsv")) as f:
+                want_r = f.read()
+            ok = kb.getvalue() == want_k and rb.getvalue() == want_r
+            RESULT["tpu_golden_ok"] = bool(ok)
+            print(
+                "golden fixture on device: reference kraken.out+report.tsv "
+                + ("REPRODUCED byte-for-byte" if ok else "MISMATCH"),
+                file=sys.stderr,
+            )
+            del cg
+            emit("tpu_golden")
+
     # ---- stage: out-of-core streaming at scale (--preload-size) ----------
     # The reference's own table records chunked classification at 1.9-3.4x
     # the --preload wall time (paper.md:126-136). Same datapoint here: a

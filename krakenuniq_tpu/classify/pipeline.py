@@ -73,7 +73,9 @@ class ClassifyOptions:
     print_sequence: bool = False
     work_unit_size: int = DEF_WORK_UNIT_SIZE
     # device batch width cap; longer reads are chunked with k-1 overlap and
-    # resolved on host (incompatible with --device-counters/--exact for now)
+    # resolved on host; composes with --device-counters/--exact (the chunked
+    # reads' counts accumulate on host and merge in finalized_counts --
+    # tests/test_long_reads.py)
     max_read_len: int = 1 << 15
     min_batch_reads: int = 64  # round B up to a multiple of this
     full_report: bool = False
@@ -153,6 +155,19 @@ def _bucket(n: int, lo: int, step: int = 2) -> int:
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def _check_dense_resolve_capacity(t_size: int) -> None:
+    """Dense mode packs Euler times into i32 sort keys shifted left 2 below
+    a 2^30 sentinel (taxonomy/resolve.py); times run to 2*T, so dense-mode
+    tree resolution silently corrupts packed event keys past 2*T = 2^28.
+    Every dense-mode entry path runs this guard."""
+    if 2 * t_size > (1 << 28):
+        raise ValueError(
+            f"taxonomy too large for dense-mode tree resolution "
+            f"({t_size} nodes; Euler keys need 2*T <= 2^28) -- "
+            "use the value pool (default) or split the taxonomy"
+        )
 
 
 def _bucket_len(n: int, lo: int) -> int:
@@ -506,14 +521,7 @@ class Classifier:
             self._root_dense = np.int32(pool.root)
             step_depth = pool.max_depth
         else:
-            # dense mode packs Euler times into i32 sort keys shifted left 2
-            # below a 2^30 sentinel (taxonomy/resolve.py); times run to 2*T
-            if 2 * tax.size > (1 << 28):
-                raise ValueError(
-                    f"taxonomy too large for dense-mode tree resolution "
-                    f"({tax.size} nodes; Euler keys need 2*T <= 2^28) -- "
-                    "use the value pool (default) or split the taxonomy"
-                )
+            _check_dense_resolve_capacity(tax.size)
             self._taxids_host = np.ascontiguousarray(tax.taxids, dtype=np.uint32)
             self._taxid_table = jax.device_put(tax.taxids.astype(np.uint32))
             self._tin = jax.device_put(tax.tin)
@@ -854,7 +862,7 @@ class Classifier:
             self._sharded_probe_fns[key] = make_sharded_probe_fn(
                 self.mesh,
                 self._probe_cfg(db_i, packed),
-                2 if cdb.store_raw else 1,
+                tuple(p.ndim for p in cdb.chunk_planes[0]),
             )
         return self._sharded_probe_fns[key]
 
@@ -2120,6 +2128,11 @@ class Classifier:
         device-counter state (if any). Fresh objects each call -- safe to
         fold further (multi-host merge, parallel/multihost.py)."""
         counts = self.counter.counts
+        if self.dev_counters is None:
+            # copy the host-counter state so the promise above holds: callers
+            # (multi-host merge_counts) fold iadd into the returned objects,
+            # which must never alias the classifier's live TaxonCounter state
+            return {tid: rc.copy() for tid, rc in counts.items()}
         if self.dev_counters is not None:
             # _taxids_host is the device-id -> taxid map for the id space in
             # play (pool taxids in pool mode, the full taxonomy otherwise);

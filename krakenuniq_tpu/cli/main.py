@@ -62,8 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--device-counters",
         action="store_true",
-        help="keep taxon counters on the device (faster; unique-k-mer estimates "
-        "use dense HLL registers rather than the reference's sparse mode)",
+        help="keep taxon counters on the device (faster; bit-identical to the "
+        "host path -- sparse-regime HLL tracking runs on device, see "
+        "classify/sparse_exact.py)",
     )
     p.add_argument(
         "--mesh",
@@ -79,16 +80,39 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="ID/N",
         help="multi-host input sharding (parallel/multihost.py): this "
         "process is host ID of N; it classifies global device spans with "
-        "span %% N == ID, writes its kraken segment plus <output>.manifest, "
-        "and saves counter state to <report>.state.<ID>. Host 0 merges: "
-        "run it last with --multihost-merge <statefile> per other host",
+        "span %% N == ID. By default (--multihost-collect auto) run the "
+        "SAME command on every host over a shared filesystem: each host "
+        "writes <output>.part<ID> (+ .manifest) and counter state "
+        "<report>.state.<ID>, then host 0 waits for its peers and merges "
+        "the kraken segments into <output> and every host's counter state "
+        "into the final report",
+    )
+    p.add_argument(
+        "--multihost-collect",
+        choices=("auto", "off"),
+        default="auto",
+        help="auto (default): host 0 rendezvouses on per-host .done markers "
+        "and performs the full merge itself. off: every host writes its own "
+        "segment to its --output plus a manifest, and only the report "
+        "counter-states are mergeable -- concatenate kraken segments with "
+        "parallel.multihost.merge_kraken_outputs over the manifests, and "
+        "fold states into host 0's report via --multihost-merge",
+    )
+    p.add_argument(
+        "--multihost-wait",
+        type=float,
+        default=3600.0,
+        metavar="SECONDS",
+        help="how long host 0 waits for peer .done markers in auto-collect "
+        "mode before failing",
     )
     p.add_argument(
         "--multihost-merge",
         action="append",
         default=[],
         metavar="STATEFILE",
-        help="fold other hosts' counter-state files into this host's report",
+        help="fold other hosts' counter-state files into this host's report "
+        "(manual flow, --multihost-collect off)",
     )
     p.add_argument(
         "--distributed-init",
@@ -211,8 +235,25 @@ def main(argv: list[str] | None = None) -> int:
             merge_paired(inputs[0], inputs[1], fh, check_names=args.check_names)
         inputs = [tmp_merged]
 
-    # report provenance header (scripts/krakenuniq:242-247)
-    if args.report_file and args.report_file != "off":
+    # auto-collect (multi-host): every host runs this same command; kraken
+    # segments land in <output>.part<ID>, and host 0 rendezvouses on peer
+    # .done markers (shared filesystem) before merging everything itself
+    auto_collect = (
+        n_hosts > 1
+        and args.multihost_collect == "auto"
+        and args.output not in (None, "-", "off")
+    )
+    kraken_path = args.output
+    if auto_collect:
+        kraken_path = f"{args.output}.part{host_id}"
+        try:  # a stale marker must not satisfy a concurrent rendezvous
+            os.unlink(f"{args.output}.done{host_id}")
+        except OSError:
+            pass
+
+    # report provenance header (scripts/krakenuniq:242-247); under
+    # auto-collect only host 0 owns the (shared) report file
+    if args.report_file and args.report_file != "off" and not (auto_collect and host_id != 0):
         date = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
         db_size = os.path.getsize(os.path.join(db_dirs[0], "database.kdb"))
         cl = " ".join([sys.argv[0]] + [shlex.quote(a) for a in argv])
@@ -231,9 +272,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.output in (None, "-"):
             kraken_fh = sys.stdout
         else:
-            kraken_fh = open_output(args.output)
+            kraken_fh = open_output(kraken_path)
             close_fhs.append(kraken_fh)
-            print(f"Writing Kraken output to {args.output}", file=sys.stderr)
+            print(f"Writing Kraken output to {kraken_path}", file=sys.stderr)
     classified_fh = unclassified_fh = None
     if args.classified_out:
         classified_fh = open_output(args.classified_out)
@@ -250,6 +291,7 @@ def main(argv: list[str] | None = None) -> int:
             unclassified_fh=unclassified_fh,
         )
         classifier.report_stats()
+        extra_counts = list(args.multihost_merge) or None
         if n_hosts > 1:
             # cross-host artifacts (parallel/multihost.py): the kraken span
             # manifest and this host's serialized counter state -- the
@@ -260,17 +302,40 @@ def main(argv: list[str] | None = None) -> int:
             from ..parallel.multihost import save_counter_state
 
             if args.output and args.output not in ("off", "-"):
-                with open(args.output + ".manifest", "w") as mf:
+                with open(kraken_path + ".manifest", "w") as mf:
                     _json.dump(classifier.span_manifest, mf)
             if args.report_file and args.report_file != "off":
                 save_counter_state(
                     f"{args.report_file}.state.{host_id}",
                     classifier.finalized_counts(),
                 )
+            if auto_collect:
+                from ..parallel.multihost import rendezvous_and_merge
+
+                for fh in close_fhs:
+                    fh.close()
+                close_fhs = []
+                done = rendezvous_and_merge(
+                    host_id,
+                    n_hosts,
+                    output=args.output,
+                    report_file=(
+                        args.report_file
+                        if args.report_file and args.report_file != "off"
+                        else None
+                    ),
+                    timeout=args.multihost_wait,
+                )
+                if host_id != 0:
+                    # peers are finished once their marker is down; host 0
+                    # owns the merged kraken output and the report
+                    print("Finishing up ...", file=sys.stderr)
+                    return 0
+                extra_counts = done or None
         if args.report_file and args.report_file != "off":
             print(f"Writing report file to {args.report_file}  ..", file=sys.stderr)
             with open(args.report_file, "a") as rf:
-                classifier.write_report(rf, extra_counts=args.multihost_merge or None)
+                classifier.write_report(rf, extra_counts=extra_counts)
     finally:
         for fh in close_fhs:
             fh.close()

@@ -170,7 +170,7 @@ def make_sharded_classify_fn(
     return jax.jit(fn), dev_planes
 
 
-def make_sharded_probe_fn(mesh: Mesh, cfg: StepConfig, n_planes: int):
+def make_sharded_probe_fn(mesh: Mesh, cfg: StepConfig, plane_ndims: tuple):
     """OOC x mesh probe: one chunk GROUP (mesh_db stacked chunk tables of one
     database) resident at a time; each db-shard probes its chunk, the words
     psum-merge over "db" (exactly-one-chunk invariant, classify.cpp:447), and
@@ -180,15 +180,19 @@ def make_sharded_probe_fn(mesh: Mesh, cfg: StepConfig, n_planes: int):
     Returns fn(acc, planes, codes, ambig, lengths) -> acc. `planes` is the
     group's stacked plane tuple, device_put with P("db", ...) by the caller
     (tables change every group; they must be arguments, not captures).
-    n_planes = 1 for fused tables, 2 for raw (UID) two-level stacks."""
+    `plane_ndims` is the UNSTACKED ndim of each chunk plane (1 entry for
+    fused tables, 2 for raw/UID two-level stacks) -- the specs here must
+    mirror the caller's P("db", *([None]*ndim)) shardings exactly, so both
+    derive from the same per-plane ndims instead of a hardcoded rank."""
     cfg = StepConfig(**{**cfg.__dict__, "db_axis": "db", "data_axis": "data"})
+    n_planes = len(plane_ndims)
 
     def core(acc, *rest):
         planes = tuple(x[0] for x in rest[:n_planes])  # drop shard-block axis
         codes, ambig, lengths = rest[n_planes:]
         return _probe_chunk_core(acc, planes, codes, ambig, lengths, cfg)
 
-    plane_specs = tuple(P("db", *([None] * 2)) for _ in range(n_planes))
+    plane_specs = tuple(P("db", *([None] * nd)) for nd in plane_ndims)
     shard_fn = jax.shard_map(
         core,
         mesh=mesh,

@@ -131,7 +131,10 @@ def merge_counts(into: dict, other: dict) -> dict:
         if taxid in into:
             into[taxid].iadd(rc)
         else:
-            into[taxid] = rc
+            # copy on first insert: later folds iadd into the merged entry,
+            # which must not mutate the caller-owned `other` dict's objects
+            # (e.g. a live finalized_counts result)
+            into[taxid] = rc.copy()
     return into
 
 
@@ -157,3 +160,68 @@ def merge_kraken_outputs(out_path: str, parts: list) -> None:
             out.write(fh.read(b1 - b0))
         for fh in handles.values():
             fh.close()
+
+
+def rendezvous_and_merge(
+    host_id: int,
+    n_hosts: int,
+    output: str,
+    report_file: str | None,
+    timeout: float = 3600.0,
+    poll_s: float = 0.2,
+) -> list | None:
+    """Single-command multi-host finish over a shared filesystem.
+
+    Every host calls this after its artifacts (<output>.part<ID> segment,
+    its .manifest, and -- when reporting -- <report>.state.<ID>) are fully
+    written:
+
+    * each host drops a completion marker <output>.done<ID>;
+    * hosts != 0 return None immediately -- their work is done;
+    * host 0 polls for every peer marker (up to `timeout` seconds), merges
+      the kraken segments in global span order into <output> (the
+      cross-host analogue of classify.cpp:390-485's by-read-index merge),
+      consumes the markers, and returns the list of peer counter-state
+      paths for the caller to fold into the final report.
+
+    Stale markers: callers should remove their own marker before starting a
+    run (the CLI does) so a rerun cannot rendezvous against a previous
+    run's leftovers.
+    """
+    import json
+    import time
+
+    marker = f"{output}.done{host_id}"
+    with open(marker, "w") as fh:
+        fh.write(str(os.getpid()))
+    if host_id != 0:
+        return None
+
+    peers = [i for i in range(n_hosts) if i != 0]
+    deadline = time.monotonic() + timeout
+    missing = list(peers)
+    while missing:
+        missing = [i for i in missing if not os.path.exists(f"{output}.done{i}")]
+        if not missing:
+            break
+        if time.monotonic() > deadline:
+            raise RuntimeError(
+                f"multi-host rendezvous timed out after {timeout}s; still "
+                f"missing host(s) {missing} (markers {output}.done<ID>)"
+            )
+        time.sleep(poll_s)
+
+    parts = []
+    for i in range(n_hosts):
+        part = f"{output}.part{i}"
+        with open(part + ".manifest") as mf:
+            parts.append((part, json.load(mf)))
+    merge_kraken_outputs(output, parts)
+    for i in range(n_hosts):
+        try:
+            os.unlink(f"{output}.done{i}")
+        except OSError:
+            pass
+    if report_file is None:
+        return []
+    return [f"{report_file}.state.{i}" for i in peers]

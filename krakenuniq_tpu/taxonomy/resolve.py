@@ -51,9 +51,11 @@ def resolve_reads(
     # Interval-stabbing scores via one event sort per read. Event keys pack
     # value<<2 | type so a plain i32 sort orders starts (type 0) and ends
     # (type 1) before the queries (type 2) that share their value -- i.e.
-    # both counts are side='right'. Euler times are < 2*T <= 2^26
-    # (sparse_exact.TAXON_BITS caps dense ids at 2^25), so the packed key
-    # fits int32 with the non-hit sentinel at 2^30.
+    # both counts are side='right'. Euler times are < 2*T, and every entry
+    # path guards 2*T <= 2^28 (the Classifier constructor raises for larger
+    # dense-mode taxonomies, classify/pipeline.py; pool mode is capped far
+    # lower by the u16 id space), so the packed key fits int32 strictly
+    # below the non-hit sentinel at 2^30.
     b, w = taxa_dense.shape
     big = jnp.int32(1) << jnp.int32(30)
     k_start = jnp.where(hit_mask, (tins << 2), big)

@@ -193,29 +193,59 @@ def test_multihost_state_roundtrip(tmp_path):
             np.testing.assert_array_equal(a.kmers, b.kmers)
 
 
-def test_multihost_cli_sequential(tmp_path):
-    """CLI flow: host 1 writes its segment + state, then host 0 merges the
-    counter states into the final report; the concatenated kraken segments
-    (manifest order) equal the single-host CLI output."""
+def _run_cli(extra, out, rep, reads, env):
+    r = subprocess.run(
+        [sys.executable, "-m", "krakenuniq_tpu.cli.main", "--db", DATA,
+         reads, "--output", out, "--report-file", rep] + extra,
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_multihost_cli_auto_collect(tmp_path):
+    """Default flow: the SAME command on every host; host 0 rendezvouses on
+    the peer .done markers and merges kraken segments + counter states
+    itself -- merged output and report body equal the single-host CLI run."""
     reads = os.path.join(DATA, "reads.fa")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"  # before interpreter start: sitecustomize honors it
 
-    def run(extra, out, rep):
-        r = subprocess.run(
-            [sys.executable, "-m", "krakenuniq_tpu.cli.main", "--db", DATA,
-             reads, "--output", out, "--report-file", rep] + extra,
-            capture_output=True, text=True, env=env, timeout=600,
-        )
-        assert r.returncode == 0, r.stderr[-2000:]
+    s_out, s_rep = str(tmp_path / "s.out"), str(tmp_path / "s.tsv")
+    _run_cli([], s_out, s_rep, reads, env)
+
+    out, rep = str(tmp_path / "m.out"), str(tmp_path / "m.tsv")
+    # identical command modulo the host id; host 1 first so host 0's
+    # rendezvous finds its marker already down (sequential run order)
+    _run_cli(["--multihost", "1/2"], out, rep, reads, env)
+    _run_cli(["--multihost", "0/2"], out, rep, reads, env)
+
+    assert open(out, "rb").read() == open(s_out, "rb").read()
+    body = lambda p: [l for l in open(p) if not l.startswith("#")]
+    assert body(rep) == body(s_rep)
+    # markers consumed; per-host parts remain for inspection
+    assert not os.path.exists(out + ".done0") and not os.path.exists(out + ".done1")
+    assert os.path.exists(out + ".part0.manifest")
+
+
+def test_multihost_cli_manual_collect(tmp_path):
+    """--multihost-collect off: host 1 writes its own segment + state, then
+    host 0 folds the counter states via --multihost-merge; the concatenated
+    kraken segments (manifest order) equal the single-host CLI output."""
+    reads = os.path.join(DATA, "reads.fa")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
 
     s_out, s_rep = str(tmp_path / "s.out"), str(tmp_path / "s.tsv")
-    run([], s_out, s_rep)
+    _run_cli([], s_out, s_rep, reads, env)
 
     o1, r1 = str(tmp_path / "h1.out"), str(tmp_path / "h1.tsv")
-    run(["--multihost", "1/2"], o1, r1)
+    _run_cli(["--multihost", "1/2", "--multihost-collect", "off"], o1, r1, reads, env)
     o0, r0 = str(tmp_path / "h0.out"), str(tmp_path / "h0.tsv")
-    run(["--multihost", "0/2", "--multihost-merge", f"{r1}.state.1"], o0, r0)
+    _run_cli(
+        ["--multihost", "0/2", "--multihost-collect", "off",
+         "--multihost-merge", f"{r1}.state.1"],
+        o0, r0, reads, env,
+    )
 
     from krakenuniq_tpu.parallel.multihost import merge_kraken_outputs
 
@@ -282,3 +312,58 @@ def test_distributed_initialize_psum(tmp_path):
     for i in range(2):
         log = open(tmp_path / f"w{i}.log").read()
         assert f"DIST_OK {i}" in log, log[-1500:]
+
+
+def test_finalized_counts_do_not_alias_live_state(tmp_path):
+    """finalized_counts() must return fresh objects: merging another host's
+    state into the result (iadd in merge_counts) must not corrupt the
+    classifier's own counter state for a later write_report."""
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+    from krakenuniq_tpu.parallel.multihost import merge_counts
+
+    reads = os.path.join(DATA, "reads.fa")
+    c = Classifier([DATA], ClassifyOptions(print_progress=False))
+    c.run([reads])
+    rep_before = io.StringIO()
+    c.write_report(rep_before)
+
+    merged = c.finalized_counts()
+    other = c.finalized_counts()
+    merge_counts(merged, other)  # doubles every count IN `merged`
+    # ... and `other`'s objects must not have been captured by reference
+    merge_counts(merged, other)
+
+    rep_after = io.StringIO()
+    c.write_report(rep_after)
+    assert rep_after.getvalue() == rep_before.getvalue()
+
+
+def test_merge_counts_does_not_mutate_other():
+    """First-insert entries are copies: folding twice from the same source
+    dict must exactly double, not compound."""
+    from krakenuniq_tpu.hll.hll import HLL, ReadCounts
+    from krakenuniq_tpu.parallel.multihost import merge_counts
+
+    def one():
+        k = HLL(12)
+        k.insert_items(np.asarray([7, 9], np.uint64))
+        rc = ReadCounts(k)
+        rc.n_reads = 3
+        rc.n_kmers = 5
+        return {42: rc}
+
+    src = one()
+    into = merge_counts({}, src)
+    assert src[42].n_reads == 3  # untouched
+    merge_counts(into, src)
+    assert into[42].n_reads == 6 and src[42].n_reads == 3
+
+
+def test_dense_resolve_capacity_guard():
+    """2*T > 2^28 would corrupt the packed i32 Euler event keys; the guard
+    must reject it on every dense-mode entry path."""
+    from krakenuniq_tpu.classify.pipeline import _check_dense_resolve_capacity
+
+    _check_dense_resolve_capacity(1 << 27)  # 2*T == 2^28: still exact
+    with pytest.raises(ValueError, match="dense-mode tree resolution"):
+        _check_dense_resolve_capacity((1 << 27) + 1)
