@@ -141,10 +141,12 @@ def main():
         load_upload_s=round(load_s, 1),
         hash_lb=c_dc.dbs[0].hash_lb,
     )
+    table_gb = sum(int(np.prod(p.shape)) * 4 for p in c_dc._db_planes[0]) / 1e9
+    RESULT["table_gb"] = round(table_gb, 2)
     print(
         f"db: {n_keys/1e6:.1f}M keys, taxonomy {tax_nodes/1e6:.2f}M nodes, "
-        f"hash lb={c_dc.dbs[0].hash_lb} "
-        f"({(1 << c_dc.dbs[0].hash_lb) * 16 / 1e9:.2f}GB table), "
+        f"hash lb={c_dc.dbs[0].hash_lb} ({table_gb:.2f}GB table, "
+        f"{len(c_dc._db_planes[0])}-plane layout), "
         f"load+upload {load_s:.1f}s; devices={jax.devices()}",
         file=sys.stderr,
     )

@@ -15,14 +15,20 @@ def build_parser():
         description=(
             "Download reference sequences and taxonomy from NCBI. Patterns: "
             "'taxonomy', 'contaminants', 'viral-neighbors', "
-            "'refseq/DOMAIN[/ASS_LEVEL[/COL=VAL]*]', 'genbank/DOMAIN[...]', "
-            "'nucleotide' (with --search/--ac)"
+            "'refseq/DOMAINS[/ASS_LEVELS[/COL=VAL]*]', 'genbank/DOMAINS[...]' "
+            "(comma lists fan out), 'nucleotide'/'assembly'/'genome' (with "
+            "--search/--ac), and 'nt'/'microbial-nt' (taxa-filtered nt "
+            "subsets, see --taxa)"
         ),
     )
     p.add_argument("patterns", nargs="+")
     p.add_argument("-o", "--output", default=".", help="download directory")
     p.add_argument("--db", default=None, help="download to <db>/{library,taxonomy}")
-    p.add_argument("--threads", "-P", type=int, default=1, help="accepted for compatibility")
+    p.add_argument(
+        "--threads", "-P", type=int, default=5,
+        help="parallel assembly fetches (the reference forks a pool of 5, "
+        "krakenuniq-download:57,389-417)",
+    )
     p.add_argument("--rsync", "-R", action="store_true", help="accepted no-op (https used)")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--verbose", action="store_true")
@@ -34,9 +40,25 @@ def build_parser():
     p.add_argument("--rettype", default="fasta")
     p.add_argument("--retmode", default="text")
     p.add_argument("--mapping-file", default=None, help="accepted no-op (taxids from summaries)")
-    p.add_argument("--taxa", default=None, help="taxa filter for nt subsets")
-    p.add_argument("--exclude-environmental-taxa", action="store_true")
-    p.add_argument("--filter-unplaced", "-u", action="store_true")
+    p.add_argument(
+        "--taxa",
+        default=None,
+        help="comma list of taxa kept in nt/microbial-nt subsets: division "
+        "names (bacteria, archaea, viral, fungi, protozoa, parasitic_worms) "
+        "or taxIDNNN entries; default bacteria,archaea,viral,fungi,protozoa",
+    )
+    p.add_argument(
+        "--exclude-environmental-taxa",
+        action="store_true",
+        help="prune 'environmental samples' subtrees from nt taxa filters",
+    )
+    p.add_argument(
+        "--filter-unplaced",
+        "-u",
+        action="store_true",
+        help="accepted for compatibility; unimplemented in the reference "
+        "too (krakenuniq-download:1278) -- a warning is printed",
+    )
     p.add_argument("--version", action="version", version=f"KrakenUniq-TPU version {__version__}")
     return p
 
@@ -52,17 +74,37 @@ def main(argv=None) -> int:
         dust=args.dust,
         min_seq_len=args.min_seq_len,
         verbose=True,
+        threads=args.threads,
+        taxa=args.taxa,
+        exclude_environmental_taxa=args.exclude_environmental_taxa,
     )
+    if args.filter_unplaced:
+        print(
+            "warning: --filter-unplaced is accepted for compatibility but "
+            "does nothing (the reference never implemented it, "
+            "krakenuniq-download:1278)",
+            file=sys.stderr,
+        )
     for pattern in args.patterns:
         try:
-            if pattern == "nucleotide":
-                if args.ac:
-                    dl.download_accessions(args.ac.split(","), rettype=args.rettype)
-                elif args.search:
-                    dl.download_search("nucleotide", args.search, args.retmode, args.rettype)
-                else:
-                    print("'nucleotide' needs --search or --ac", file=sys.stderr)
+            if pattern in ("nucleotide", "assembly", "genome"):
+                if not args.ac and not args.search:
+                    print(
+                        f"'{pattern}' needs --search or --ac", file=sys.stderr
+                    )
                     return 64
+                if args.ac:
+                    if pattern == "nucleotide":
+                        dl.download_accessions(
+                            args.ac.split(","), rettype=args.rettype
+                        )
+                    else:
+                        dl.download_eutils_accessions(pattern, args.ac.split(","))
+                if args.search:
+                    db = "nuccore" if pattern == "nucleotide" else pattern
+                    dl.download_search(
+                        pattern, args.search, args.retmode, args.rettype, db=db
+                    )
             elif pattern.startswith(("refseq/", "genbank/")):
                 dl.download_assemblies(pattern, fna_types=args.fna)
             else:

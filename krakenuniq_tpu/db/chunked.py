@@ -3,7 +3,7 @@
 The reference classifies databases far larger than RAM by splitting the
 sorted pair array into minimizer-range chunks that fit a byte budget and
 streaming them through memory serially (krakendb.cpp:407-526,
-classify.cpp:566-791). The TPU equivalent implemented here: the fused hash
+classify.cpp:566-791). The TPU equivalent implemented here: the device hash
 table (db/hash_table.py) is built per minimizer-range chunk on host, each
 chunk sized so its table fits the `--preload-size` HBM budget, and the
 classify pipeline streams the chunk tables through HBM, folding per-k-mer
@@ -30,9 +30,18 @@ import sys
 
 import numpy as np
 
-from .hash_table import BUCKET_SLOTS, HashBuildError, build_hash_table, min_lb_for
+from .hash_table import (
+    BUCKET_SLOTS,
+    CHD_MAX_LOAD,
+    HashBuildError,
+    build_hash_table,
+    chd_min_lr,
+    chd_table_bytes,
+    min_lb_for,
+)
 
-# fused rows are 16B/bucket; the raw (UID) two-level layout is 24B/bucket
+# fused-fallback rows are 16B/bucket; raw (UID) two-level is 24B/bucket;
+# the default CHD layout prices at 17B per 2-slot row (chd_table_bytes)
 _FUSED_BYTES_PER_BUCKET = 4 * 4
 _RAW_BYTES_PER_BUCKET = 4 * 2 + 8 * 2
 _CHUNK_LOAD_FACTOR = 0.6
@@ -46,7 +55,7 @@ def table_bytes(n_keys: int, max_value: int, store_raw: bool) -> int:
             int(np.ceil(np.log2(max(n_keys, 2) / (BUCKET_SLOTS * _CHUNK_LOAD_FACTOR)))),
         )
         return (1 << lb) * _RAW_BYTES_PER_BUCKET
-    return (1 << min_lb_for(n_keys, max_value, _CHUNK_LOAD_FACTOR)) * _FUSED_BYTES_PER_BUCKET
+    return chd_table_bytes(chd_min_lr(n_keys, max_value))
 
 
 def plan_chunks(
@@ -66,17 +75,25 @@ def plan_chunks(
     `chunk_multiple` rounds the count up so chunks group evenly over a mesh
     "db" axis (the OOC x mesh composition).
     """
-    per_bucket = _RAW_BYTES_PER_BUCKET if store_raw else _FUSED_BYTES_PER_BUCKET
     offsets = np.asarray(offsets, dtype=np.int64)
     total = int(offsets[-1])
-    lb_budget = max(4, int(np.floor(np.log2(max(budget_bytes, 1) / per_bucket))))
-    lb_floor = 4 if store_raw else max(4, int(max_value).bit_length() + 1)
+    if store_raw:
+        per_bucket = _RAW_BYTES_PER_BUCKET
+        lb_budget = max(4, int(np.floor(np.log2(max(budget_bytes, 1) / per_bucket))))
+        lb_floor = 4
+        min_table = (1 << lb_floor) * per_bucket
+        cap = int((1 << lb_budget) * BUCKET_SLOTS * _CHUNK_LOAD_FACTOR)
+    else:
+        # CHD layout (db/hash_table.py): 2^lr 16B rows + 2^(lr-2) disp words
+        lb_budget = max(4, int(np.floor(np.log2(max(budget_bytes, 1) / 17))))
+        lb_floor = max(4, int(max_value).bit_length())
+        min_table = chd_table_bytes(lb_floor)
+        cap = int((1 << lb_budget) * 2 * CHD_MAX_LOAD)
     if lb_budget < lb_floor:
         raise ValueError(
             f"--preload-size {budget_bytes} is below the minimum chunk table "
-            f"(2^{lb_floor} buckets = {(1 << lb_floor) * per_bucket} bytes)"
+            f"(width 2^{lb_floor} = {min_table} bytes)"
         )
-    cap = int((1 << lb_budget) * BUCKET_SLOTS * _CHUNK_LOAD_FACTOR)
     max_bin = int(np.diff(offsets).max()) if len(offsets) > 1 else total
     if max_bin > cap:
         raise ValueError(
@@ -103,7 +120,7 @@ def plan_chunks(
             for s in sizes
         )
     else:
-        lb = max(min_lb_for(s, max_value, _CHUNK_LOAD_FACTOR) for s in sizes)
+        lb = max(chd_min_lr(s, max_value) for s in sizes)
     return bounds, min(lb, lb_budget)
 
 
@@ -111,9 +128,10 @@ def plan_chunks(
 class ChunkedHashDB:
     """Host-resident chunk tables for one database, streamed through HBM.
 
-    chunk_planes[i] is the host plane tuple of chunk i -- (fused,) for dense
-    tables, (ptags, confirm) for raw (UID) tables -- all built at the common
-    bucket width `lb` so the probe program compiles once per database.
+    chunk_planes[i] is the host plane tuple of chunk i -- (disp4, rows) CHD
+    planes for dense tables, (ptags, confirm) for raw (UID) tables -- all
+    built at the common width `lb` so the probe program compiles once per
+    database.
     """
 
     chunk_planes: list[tuple]
@@ -152,17 +170,20 @@ def build_chunked_db(
     whole set: one bit wider if the budget allows (halves the load), else
     cut finer at the same width (fewer keys per chunk). Uniform lb keeps the
     probe program at one compile per database."""
-    per_bucket = _RAW_BYTES_PER_BUCKET if store_raw else _FUSED_BYTES_PER_BUCKET
     values_for_fit = vals if store_raw else vals_dense
     vmax = int(np.asarray(values_for_fit).max()) if len(keys) else 0
     offsets = np.asarray(offsets, dtype=np.int64)
+
+    def width_bytes(w: int) -> int:
+        return (1 << w) * _RAW_BYTES_PER_BUCKET if store_raw else chd_table_bytes(w)
+
     min_chunks = 1
     lb_bump = 0
     while True:
         bounds, lb = plan_chunks(
             offsets, budget_bytes, vmax, store_raw, min_chunks, chunk_multiple
         )
-        if (1 << (lb + lb_bump)) * per_bucket <= budget_bytes:
+        if width_bytes(lb + lb_bump) <= budget_bytes:
             lb = min(lb + lb_bump, 30)
         else:
             lb_bump = 0  # replanned cut changed the base width; restart bumps
@@ -179,10 +200,11 @@ def build_chunked_db(
                     store_raw=store_raw,
                     keep_host=True,
                     to_device=False,
+                    layout="chd",
                 )
             except HashBuildError:
                 ok = False
-                if (1 << (lb + 1)) * per_bucket <= budget_bytes:
+                if width_bytes(lb + 1) <= budget_bytes:
                     lb_bump += 1
                 else:
                     min_chunks = len(bounds) + chunk_multiple
@@ -260,7 +282,7 @@ def load_chunked_db(
             and extra.get("chunk_multiple", 1) == chunk_multiple
             and space_ok
         ):
-            per = 2 if uid_database else 1
+            per = 2  # CHD (disp4, rows) and raw (ptags, confirm) both
             chunk_planes = [
                 tuple(planes[i * per : (i + 1) * per])
                 for i in range(len(planes) // per)

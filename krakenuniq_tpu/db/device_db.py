@@ -44,9 +44,10 @@ class DeviceDB:
     max_bin: int  # largest bin size (bounds the binary-search trip count)
     bin_start: int = 0  # first minimizer bin owned by this shard
     key_start: int = 0  # global pair index of keys[0]
-    # bucketed hash table (db/hash_table.py); the default device lookup path:
-    # (fused u32 [nb,4],) normally, (ptags u32 [nb,2], confirm u32 [nb*2,2])
-    # for raw-valued (UID) databases
+    # hash table planes (db/hash_table.py); the default device lookup path:
+    # CHD (disp4 u32 [2^(lg-2),4], rows u32 [2^lr,4]) normally, fused
+    # (u32 [nb,4],) as build fallback, (ptags u32 [nb,2],
+    # confirm u32 [nb*2,2]) for raw-valued (UID) databases
     hash_table: tuple | None = None
     hash_lb: int = 0
     store_raw: bool = False  # hash value word = raw DB value (UID databases)

@@ -1,22 +1,50 @@
-"""Bucketed two-choice hash table for the device k-mer lookup.
+"""Device hash tables for the k-mer lookup: the ONE-GATHER displaced-bucket
+layout (default) and the two-choice fused layout (fallback / raw values).
 
-Motivation (measured on TPU v5e): XLA's random row-gather from a small-minor
-u32 operand is the ONLY fast random-access form (~0.37 ns per byte fetched).
-The default table is ONE u32 plane of 16-byte rows probed in a single
-dependent round:
+Motivation (measured on TPU v5e, BENCHNOTES.md): XLA's random row-gather
+from a small-minor u32 operand is the only fast random-access form, costing
+~6.7-15.5 ns per ROW regardless of index locality; the probe is therefore
+priced in gathered rows, not bytes. The round-3 two-choice fused layout
+gathered TWO 16B rows per query; the default layout now gathers ONE 16B row
+from the main table plus one 16B row from a ~16x smaller displacement
+table (a cheaper gather class):
 
-  fused: uint32 [n_buckets, 4]   rows [tag0, val0, tag1, val1]
+CHD (compressed hash-and-displace) layout -- the default for value tables:
 
-A query gathers its two candidate buckets' rows (2 x 16B = 32B/query; both
-gathers are independent, so one memory round trip) and accepts a slot whose
-tag AND value-word high bits both match. The previous two-level layout
-(8B tag rows screened, then an 8B confirm row) touched 24B/query but in TWO
-dependent rounds; the fused row is ~20% faster end to end and 16B/bucket
-instead of 24B.
+  disp: uint32 [2^(lg-2), 4]   one u32 displacement word per bucket,
+                               packed 4 per row; bucket g holds
+                               (d1 << 16) | d0
+  rows: uint32 [2^lr, 4]       2 slots of 8B each: slot = (r << lr) | v
+                               stored as [hi32, lo32]
+
+Addressing: split the murmur hash h into p = top lr bits and remainder
+r = low 64-lr bits. The bucket g = mix1(r) (top lg bits of r * GOLDEN) and
+q = mix2(r) (top lr bits of r * C2) depend on r ONLY; the row is
+  row = (p + d0 + d1*q) mod 2^lr
+with (d0, d1) the bucket's stored 16+16-bit displacement, found at build
+time (largest-bucket-first greedy, native/kuniq_native.cpp chd_place).
+
+EXACTNESS: a slot stores the full remainder r next to the value, and the
+row index pins p: a match implies r_stored == r_query, hence the same
+bucket g, the same (d0, d1, q), and therefore p_stored = row - d0 - d1*q =
+p_query (mod 2^lr, both in range) -- all 64 hash bits are pinned, and
+murmur's finalizer is a bijection, so the k-mer itself is pinned. Empty
+slots are all-zero: they can only "match" a query with r == 0 and then
+yield value 0 = miss, the same convention the downstream step already
+uses. The slot packs r (64-lr bits) + value (up to lr bits) into exactly
+8 bytes at ANY lr, so lr is set by capacity and value width alone
+(`chd_min_lr`); at the reference scale (1.1e8 keys) the table runs at
+~0.83 load -- 2^26 rows x 16B = 1.07 GB + 67 MB disp, HALF the round-3
+fused table's HBM, which also halves upload time and the out-of-core
+stream.
+
+The two-choice FUSED layout is kept as the build fallback (and for
+force-width stacking edge cases): one u32 [n_buckets, 4] plane of
+[tag0, val0, tag1, val1] rows probed at both candidate buckets:
 
 Keys are addressed by h = murmur3_finalizer(key) (a BIJECTION on uint64, so
 storing/comparing mixed hashes loses nothing; the HLL path computes the same
-h anyway). Every key has two candidate buckets
+h anyway). In the fused layout every key has two candidate buckets
     b1 = h >> (64 - lb)        b2 = (h * GOLDEN) >> (64 - lb)
 Let hc be the probe value of the choice that placed the key (h for its
 first-choice bucket, h * GOLDEN for its second; both maps are bijections --
@@ -80,7 +108,168 @@ from ..utils.bits import murmur3_finalizer
 
 BUCKET_SLOTS = 2
 GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+C2 = np.uint64(0xC2B2AE3D27D4EB4F)  # q-mix multiplier (odd => bijective)
+CHD_MAX_LOAD = 0.85  # keys / (2 * 2^lr); power-of-two snap => load > 0.42
 _SELF_CHECK_CHUNK = 1 << 21  # fixed probe shape: one compile per process
+
+
+def chd_min_lr(n_keys: int, max_value: int, load_factor: float = CHD_MAX_LOAD) -> int:
+    """Smallest row-bits lr for the CHD layout: capacity (2 slots/row at
+    <= load_factor) and value width (value fits lr bits) both bind; the
+    remainder always fits the other 64-lr slot bits, so there is no lower
+    bound from exactness."""
+    lr = max(4, int(np.ceil(np.log2(max(n_keys, 2) / (2 * load_factor)))))
+    return max(lr, int(max_value).bit_length())
+
+
+def chd_table_bytes(lr: int) -> int:
+    """HBM bytes of a CHD table at row-bits lr (rows plane + disp plane)."""
+    return (1 << lr) * 16 + (1 << max(2, lr - 2)) * 4
+
+
+def _chd_split(hashes, lr: int, lg: int):
+    """Per-key addressing fields (shared by build, self-check, and the
+    device probe's host mirror)."""
+    r_mask = np.uint64((1 << (64 - lr)) - 1)
+    p = (hashes >> np.uint64(64 - lr)).astype(np.uint32)
+    r = hashes & r_mask
+    g = ((r * GOLDEN) >> np.uint64(64 - lg)).astype(np.int64)
+    q = ((r * C2) >> np.uint64(64 - lr)).astype(np.uint32)
+    return p, r, g, q
+
+
+def _chd_place_numpy(hashes, lr: int, lg: int, seed: int = 0, max_attempts: int = 65536):
+    """Vectorized fallback placement when the native extension is absent:
+    largest-first tiers, per-round candidate windows screened against a
+    packed free-slot bitmap, priority claims (lowest bucket rank wins a
+    contested row; contention losers retry the same window). ~5-8x slower
+    than the sequential first-success search in native chd_place."""
+    n = len(hashes)
+    nrows = 1 << lr
+    p, _r, g, q = _chd_split(hashes, lr, lg)
+    order = np.argsort(g, kind="stable")
+    ug, bstart, bcount = np.unique(g[order], return_index=True, return_counts=True)
+    occ = np.zeros(nrows, np.uint8)
+    free_bits = np.full(max(1, nrows >> 3), 0xFF, np.uint8)
+    disp = np.zeros(1 << lg, np.uint32)
+    row_of = np.full(n, -1, np.int32)
+    col_of = np.zeros(n, np.int8)
+    rowmask = np.uint32(nrows - 1)
+    claim = np.full(nrows, 2**31 - 1, np.int32)
+    for size in np.sort(np.unique(bcount))[::-1]:
+        sel = bcount == size
+        tb_g = ug[sel]
+        kidx = order[bstart[sel][:, None] + np.arange(size)[None, :]]
+        pp = p[kidx].astype(np.uint32)
+        qq = q[kidx].astype(np.uint32)
+        act = np.arange(len(tb_g))
+        attempt = np.zeros(len(tb_g), np.int64)
+        A = 2
+        while len(act):
+            na = len(act)
+            t = attempt[act].astype(np.uint64)
+            gb = tb_g[act].astype(np.uint64)
+            dmix = murmur3_finalizer(
+                (gb[:, None] << np.uint64(24))
+                + (t[:, None] + np.arange(A, dtype=np.uint64)[None, :])
+                + np.uint64(seed) * np.uint64(0x9E3779B9)
+            )
+            d0 = (dmix & np.uint64(0xFFFF)).astype(np.uint32)
+            d1 = ((dmix >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.uint32)
+            rows = (
+                pp[act][:, None, :]
+                + d0[:, :, None]
+                + d1[:, :, None] * qq[act][:, None, :]
+            ) & rowmask
+            rowsl = rows.astype(np.int32)
+            fb = (free_bits[rowsl >> 3] >> (rowsl & 7).astype(np.uint8)) & 1
+            cand_ok = fb.all(axis=2) if size > 1 else fb[..., 0].astype(bool)
+            has = cand_ok.any(axis=1)
+            choice = np.argmax(cand_ok, axis=1)
+            ch_rows = np.take_along_axis(rowsl, choice[:, None, None], axis=1)[:, 0, :]
+            ch_d0 = np.take_along_axis(d0, choice[:, None], axis=1)[:, 0]
+            ch_d1 = np.take_along_axis(d1, choice[:, None], axis=1)[:, 0]
+            if size >= 2:
+                # exact within-candidate demand on the chosen rows only
+                rs = np.sort(ch_rows, axis=1)
+                eq = rs[:, 1:] == rs[:, :-1]
+                bad = ((occ[rs[:, 1:]] + 2 > 2) & eq).any(axis=1)
+                if size >= 3:
+                    bad |= (eq[:, 1:] & eq[:, :-1]).any(axis=1)
+                bad &= has
+                if bad.any():
+                    attempt[act[bad]] += choice[bad] + 1
+                    has = has & ~bad
+            pri = np.arange(na, dtype=np.int32)
+            fr = ch_rows[has]
+            np.minimum.at(claim, fr.ravel(), np.repeat(pri[has], size))
+            okb = np.zeros(na, bool)
+            okb[has] = (claim[fr] == pri[has, None]).all(axis=1)
+            claim[fr.ravel()] = 2**31 - 1
+            w_idx = act[okb]
+            if len(w_idx):
+                # columns assigned GLOBALLY per round: different buckets may
+                # jointly win slots of one row
+                wrows = ch_rows[okb].ravel()
+                wkeys = kidx[w_idx].ravel()
+                o = np.argsort(wrows, kind="stable")
+                sr = wrows[o]
+                first = np.ones(len(sr), bool)
+                first[1:] = sr[1:] != sr[:-1]
+                start = np.maximum.accumulate(np.where(first, np.arange(len(sr)), -1))
+                rank = (np.arange(len(sr)) - start).astype(np.int8)
+                cols = np.empty(len(sr), np.int8)
+                cols[o] = occ[sr].astype(np.int8) + rank
+                np.add.at(occ, wrows, 1)
+                nowfull = wrows[occ[wrows] >= 2]
+                np.bitwise_and.at(
+                    free_bits,
+                    nowfull >> 3,
+                    (~(np.uint8(1) << (nowfull & 7).astype(np.uint8))).astype(np.uint8),
+                )
+                row_of[wkeys] = wrows
+                col_of[wkeys] = cols
+                disp[tb_g[w_idx]] = (ch_d1[okb] << np.uint32(16)) | ch_d0[okb]
+            bump = ~okb & ~has
+            attempt[act[bump]] += A
+            act = act[~okb]
+            if len(act) and int(attempt[act].max()) >= max_attempts:
+                return None
+            p_obs = max(okb.mean(), 1e-3)
+            A = int(min(32, max(2, np.ceil(1.0 / p_obs))))
+    return row_of, col_of, disp
+
+
+def _chd_place(hashes, lr: int, lg: int, seed: int = 0, max_attempts: int = 65536):
+    """Returns (row_of int32[n], col_of int8[n], disp uint32[2^lg]) or None.
+    Native sequential search when available (4-5M keys/s at 0.83 load),
+    numpy fallback otherwise."""
+    try:
+        from .._native_build import ensure_native
+
+        mod = ensure_native()
+    except Exception:
+        mod = None
+    if mod is not None and hasattr(mod, "chd_place"):
+        out = mod.chd_place(
+            np.ascontiguousarray(hashes, np.uint64), lr, lg, seed, max_attempts
+        )
+        return out
+    return _chd_place_numpy(hashes, lr, lg, seed, max_attempts)
+
+
+def _host_planes_chd(row_of, col_of, hashes, values, lr: int, disp):
+    """Host numpy construction of the CHD planes (module docstring):
+    (disp4 uint32 [2^(lg-2), 4], rows uint32 [2^lr, 4])."""
+    nrows = 1 << lr
+    r = hashes & np.uint64((1 << (64 - lr)) - 1)
+    s = (r << np.uint64(lr)) | values.astype(np.uint64)
+    rows = np.zeros((nrows, 4), np.uint32)
+    flat = row_of.astype(np.int64)
+    c2 = col_of.astype(np.int64) * 2
+    rows[flat, c2] = (s >> np.uint64(32)).astype(np.uint32)
+    rows[flat, c2 + 1] = (s & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return disp.reshape(-1, 4), rows
 
 
 def bucket_ids(h, lb: int):
@@ -249,7 +438,29 @@ def _self_check(host_planes, hashes, values, lb: int) -> int:
     for s in range(0, n, _SELF_CHECK_CHUNK):
         h = hashes[s : s + _SELF_CHECK_CHUNK]
         want = values[s : s + _SELF_CHECK_CHUNK]
-        if len(host_planes) == 1:
+        if len(host_planes) == 2 and host_planes[0].shape[1] == 4:
+            # CHD layout: (disp4, rows); lb is the row-bits lr
+            disp4, rows_plane = host_planes
+            lr = lb
+            lg = int(np.log2(disp4.shape[0] * 4))
+            p, r, g, q = _chd_split(h, lr, lg)
+            d = disp4.reshape(-1)[g]
+            d0 = d & np.uint32(0xFFFF)
+            d1 = d >> np.uint32(16)
+            row = (p + d0 + d1 * q) & np.uint32((1 << lr) - 1)
+            rw = rows_plane[row.astype(np.int64)]
+            v_mask = np.uint32((1 << lr) - 1)
+            e_hi = (r >> np.uint64(32 - lr)).astype(np.uint32)
+            e_lo = (
+                (r & np.uint64((1 << (32 - lr)) - 1)) << np.uint64(lr)
+            ).astype(np.uint32)
+            m0 = (rw[:, 0] == e_hi) & ((rw[:, 1] & ~v_mask) == e_lo)
+            m1 = (rw[:, 2] == e_hi) & ((rw[:, 3] & ~v_mask) == e_lo)
+            got = np.maximum(
+                np.where(m0, rw[:, 1] & v_mask, 0),
+                np.where(m1, rw[:, 3] & v_mask, 0),
+            )
+        elif len(host_planes) == 1:
             fused = host_planes[0]
             v_bits = lb - 1
             tax_mask = np.uint32((1 << v_bits) - 1)
@@ -312,26 +523,31 @@ def build_hash_table(
     self_check: bool = True,
     keep_host: bool = False,
     to_device: bool = True,
+    layout: str = "auto",
 ):
-    """Returns (planes, lb): DEVICE plane tuple `(fused,)` -- or
-    `(ptags, confirm)` when store_raw -- plus the bucket bits; see module
-    docstring. keep_host=True appends the host numpy planes as a third
-    element (for cache writers -- re-downloading them from the device would
-    cost a bulk transfer).
+    """Returns (planes, lb): DEVICE plane tuple plus the width bits; see
+    module docstring for the three layouts:
+      * CHD (default for value tables): `(disp4, rows)`, lb = row-bits lr
+      * fused two-choice (fallback):    `(fused,)`, lb = bucket bits
+      * two-level (store_raw / UID):    `(ptags, confirm)`, lb = bucket bits
+    keep_host=True appends the host numpy planes as a third element (for
+    cache writers -- re-downloading them from the device would cost a bulk
+    transfer).
 
-    The stored per-key value word's taxon field is the DENSE taxon id (the
-    classify step maps it back through taxid_table); `store_raw` stores the
-    raw 32-bit DB value instead (UID databases, whose values are set ids,
-    not taxids) in the two-level layout.
+    The stored per-key value is the DENSE taxon id (the classify step maps
+    it back through taxid_table) or the pool id; `store_raw` stores the raw
+    32-bit DB value instead (UID databases, whose values are set ids, not
+    taxids) -- raw values need all 32 bits, which only the two-level layout
+    can hold.
 
-    load_factor = the MAX keys/slots ratio (power-of-two table sizing means
-    the actual load lands in [load_factor/2, load_factor]); batch cuckoo
-    placement of 2-slot two-choice buckets succeeds reliably up to the
-    ~0.897 theoretical threshold. If placement stalls, it is retried with a
-    fresh eviction-coin sequence, then the table is grown until lb=30 (the
-    flat-row-index int32 bound; a larger table would exceed HBM anyway).
-    force_lb pins the size (used to stack uniformly-sized shard tables);
-    with force_lb only the seed retries apply. All failure paths raise
+    `layout`: "auto" tries CHD and falls back to fused on persistent
+    placement failure; "chd" / "fused" pin the layout (uniform chunk/shard
+    stacks must agree on one probe program). CHD runs to ~0.85 load
+    (chd_min_lr); fused cuckoo placement to `load_factor`. If placement
+    stalls it is retried with fresh seeds, then the table is grown until
+    width 30 (the row-index int32 bound; a larger table would exceed HBM
+    anyway). force_lb pins the width (uniformly-sized shard stacks); with
+    force_lb only the seed retries apply. All failure paths raise
     HashBuildError so callers can fall back (bsearch planes / a larger
     uniform stack) instead of dying. self_check=False skips the probe
     validation (callers that keep planes on host, e.g. cache writers, avoid
@@ -340,6 +556,34 @@ def build_hash_table(
     hashes = murmur3_finalizer(np.ascontiguousarray(keys, dtype=np.uint64))
     values = np.asarray(vals if store_raw else vals_dense).astype(np.uint32)
     vmax = int(values.max()) if n else 0
+    if not store_raw and layout in ("auto", "chd"):
+        lr = force_lb if force_lb is not None else chd_min_lr(n, vmax)
+        if force_lb is not None and vmax >> lr:
+            raise ValueError(
+                f"force_lb={lr} cannot hold value {vmax} in {lr} bits (CHD)"
+            )
+        lr_max = lr if force_lb is not None else 30
+        while lr <= min(lr_max, 30):
+            for seed in range(3):
+                out = _chd_place(hashes, lr, max(2, lr - 2), seed=seed)
+                if out is None:
+                    continue
+                row_of, col_of, disp = out
+                host = _host_planes_chd(row_of, col_of, hashes, values, lr, disp)
+                if (not self_check or n == 0) or _self_check(
+                    host, hashes, values, lr
+                ) == 0:
+                    planes = (
+                        tuple(jax.device_put(p) for p in host) if to_device else None
+                    )
+                    return (planes, lr, host) if keep_host else (planes, lr)
+            lr += 1
+        if layout == "chd":
+            raise HashBuildError(
+                f"CHD placement failed for {n} keys up to 2^{min(lr_max, 30)} rows"
+                + (f" (force_lb={force_lb})" if force_lb is not None else "")
+            )
+        # layout == "auto": fall through to the fused two-choice build
     if force_lb is not None:
         lb = force_lb
         if not store_raw and vmax >> (lb - 1):

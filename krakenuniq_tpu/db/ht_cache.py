@@ -4,9 +4,9 @@ Building the table for a 48M-key database costs ~100s of host work (murmur
 + cuckoo placement + plane scatters) plus a device self-check -- per
 process. The reference amortizes its analogous cost (sorting + index
 construction) by writing database.idx once at build time
-(build_db.sh:194-209); we do the same for the probe layout: the fused plane
-is written to `<kdb>.ht` after the first successful build and later loads
-are a single bulk file read + device_put.
+(build_db.sh:194-209); we do the same for the probe layout: the table
+planes are written to `<kdb>.ht` after the first successful build and
+later loads are a single bulk file read + device_put.
 
 Validity: the table stores DENSE taxon ids, so it depends on both the kdb
 pair file and the taxonomy (taxDB) that defined the dense remap. The header
@@ -14,8 +14,9 @@ records (size, mtime_ns) of each dependency and the layout version; any
 mismatch is a silent rebuild.
 
 Format: an uncompressed .npz holding `meta` (json) and the plane arrays
-`p0[, p1]` -- one plane for the fused layout, two for the raw-valued (UID)
-two-level layout (db/hash_table.py).
+`p0[, p1]` -- (disp4, rows) for the default CHD layout, one plane for the
+fused fallback, (ptags, confirm) for the raw-valued (UID) two-level
+layout (db/hash_table.py).
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ import os
 
 import numpy as np
 
-_VERSION = 4  # bump when the plane layout or value space changes
+_VERSION = 5  # bump when the plane layout or value space changes (5: CHD layout)
 
 
 def _dep_stat(path: str):

@@ -1,15 +1,21 @@
 """Device-side hash-table k-mer lookup.
 
-Default (fused) layout: one u32 [n_buckets, 4] plane of [tag0, val0, tag1,
-val1] rows (db/hash_table.py). The probe gathers the query's two candidate
-rows -- two INDEPENDENT 16B row-gathers, so a single memory round trip --
-and accepts a slot whose tag and value-word high bits (choice flag + spare
-hash bits) both match. The accepted (bucket, tag, choice, spare) tuple
-pins all 64 bits of the placing probe value, so the lookup is EXACT: a
-slot is accepted iff its key's murmur hash equals the query's (murmur's
-finalizer and the GOLDEN multiply are both bijections on uint64).
-Measured on TPU v5e, XLA's random row-gather costs ~0.37 ns per byte
-fetched: 32B/query here, with no dependent second round.
+Default (CHD) layout: ONE 16B row gather from the main table per query
+plus one 16B row gather from a ~16x smaller displacement plane
+(db/hash_table.py module doc). The query hash splits into p (top lr bits)
+and remainder r; the bucket's stored (d0, d1) displacement addresses
+  row = (p + d0 + d1*q(r)) mod 2^lr
+and the row's two slots hold (r << lr | value) -- a slot match pins the
+full remainder and the row index pins p, so all 64 hash bits are pinned
+and the lookup is EXACT (murmur's finalizer is a bijection on uint64).
+Compared with the round-3 two-choice fused probe (two 16B gathers from
+the BIG table), the big-table gather count halves and the second gather
+moves to a table in XLA's faster small-operand gather class.
+
+The fused two-choice layout remains as build fallback: one u32
+[n_buckets, 4] plane of [tag0, val0, tag1, val1] rows; the probe gathers
+both candidate buckets' rows and accepts a slot whose tag and value-word
+high bits (choice flag + spare hash bits) both match -- also exact.
 
 Raw-valued (UID) tables keep the two-level (ptags, confirm) layout -- the
 32-bit value word has no spare bits -- probed as two 8B tag rows, then the
@@ -17,10 +23,13 @@ Raw-valued (UID) tables keep the two-level (ptags, confirm) layout -- the
 rounds); a false accept requires a 2^-(64+lb)-probability coincidence.
 
 The query's murmur hash doubles as the probe value, so canonical k-mers
-never need to be fetched or compared. The value word is the dense taxon id
-for normal databases (mapped back to the original taxid space through
-taxid_table by the classify step) or the raw 32-bit DB value for UID
-databases.
+never need to be fetched or compared. The value word is the pool id /
+dense taxon id for normal databases (mapped back to the original taxid
+space by the classify step) or the raw 32-bit DB value for UID databases.
+
+Layout dispatch is static by plane structure: 1 plane = fused; 2 planes
+with planes[0].shape[1] == 4 = CHD (disp4, rows); shape[1] == 2 = raw
+two-level (ptags, confirm).
 """
 
 from __future__ import annotations
@@ -31,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..db.hash_table import BUCKET_SLOTS, GOLDEN
+from ..db.hash_table import BUCKET_SLOTS, C2, GOLDEN
 
 
 def _probe_fused(fused, h, lb: int):
@@ -92,10 +101,49 @@ def _probe_rows(ptags, confirm, h, lb: int):
     return ok, crow[:, 1]
 
 
+def _probe_chd(disp4, rows_plane, h, lr: int):
+    """One-gather displaced-bucket probe: returns (found, value) per query.
+    `lr` is the row-bits; the bucket width lg is static from disp4's shape."""
+    lg = int(np.log2(disp4.shape[0] * 4))
+    r_mask = np.uint64((1 << (64 - lr)) - 1)
+    p = (h >> np.uint64(64 - lr)).astype(jnp.uint32)
+    r = h & r_mask
+    g = ((r * GOLDEN) >> np.uint64(64 - lg)).astype(jnp.int32)
+    q = ((r * C2) >> np.uint64(64 - lr)).astype(jnp.uint32)
+    # displacement word: 16B row gather from the packed [2^(lg-2), 4] plane,
+    # then a 4-way lane select (element gathers are the slow path on TPU)
+    drow = jnp.take(disp4, g >> 2, axis=0)  # [n, 4]
+    lane = g & 3
+    d = jnp.where(
+        lane == 0,
+        drow[:, 0],
+        jnp.where(lane == 1, drow[:, 1], jnp.where(lane == 2, drow[:, 2], drow[:, 3])),
+    )
+    d0 = d & jnp.uint32(0xFFFF)
+    d1 = d >> jnp.uint32(16)
+    row = (p + d0 + d1 * q) & jnp.uint32((1 << lr) - 1)
+    rw = jnp.take(rows_plane, row.astype(jnp.int32), axis=0)  # [n, 4]
+    v_mask = jnp.uint32((1 << lr) - 1)
+    e_hi = (r >> np.uint64(32 - lr)).astype(jnp.uint32)
+    e_lo = ((r & np.uint64((1 << (32 - lr)) - 1)) << np.uint64(lr)).astype(jnp.uint32)
+    m0 = (rw[:, 0] == e_hi) & ((rw[:, 1] & ~v_mask) == e_lo)
+    m1 = (rw[:, 2] == e_hi) & ((rw[:, 3] & ~v_mask) == e_lo)
+    # exactness: at most one REAL slot matches; empty slots match only
+    # r == 0 queries and contribute value 0 = miss, so max-combine is safe
+    val = jnp.maximum(
+        jnp.where(m0, rw[:, 1] & v_mask, jnp.uint32(0)),
+        jnp.where(m1, rw[:, 3] & v_mask, jnp.uint32(0)),
+    )
+    return m0 | m1, val
+
+
 def _probe(planes, h, lb: int):
-    """Layout dispatch: 1 plane = fused, 2 planes = two-level (raw)."""
+    """Static layout dispatch (module docstring): 1 plane = fused; 2 planes
+    = CHD (disp4 rows are 4 wide) or raw two-level (ptags rows are 2 wide)."""
     if len(planes) == 1:
         return _probe_fused(planes[0], h, lb)
+    if planes[0].shape[1] == 4:
+        return _probe_chd(planes[0], planes[1], h, lb)
     return _probe_rows(planes[0], planes[1], h, lb)
 
 

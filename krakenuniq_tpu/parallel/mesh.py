@@ -181,7 +181,7 @@ def make_sharded_probe_fn(mesh: Mesh, cfg: StepConfig, plane_ndims: tuple):
     group's stacked plane tuple, device_put with P("db", ...) by the caller
     (tables change every group; they must be arguments, not captures).
     `plane_ndims` is the UNSTACKED ndim of each chunk plane (1 entry for
-    fused tables, 2 for raw/UID two-level stacks) -- the specs here must
+    CHD tables, 2 for raw/UID two-level stacks) -- the specs here must
     mirror the caller's P("db", *([None]*ndim)) shardings exactly, so both
     derive from the same per-plane ndims instead of a hardcoded rank."""
     cfg = StepConfig(**{**cfg.__dict__, "db_axis": "db", "data_axis": "data"})

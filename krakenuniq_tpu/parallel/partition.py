@@ -89,18 +89,19 @@ def shard_db_planes(
 class ShardedHashPlanes:
     """Stacked per-shard hash tables (db/hash_table.py layouts).
 
-    planes holds the shard-stacked device arrays: (fused[S, nb, 4],) for
-    dense-valued tables, (ptags[S, nb, 2], confirm[S, nb*2, 2]) for raw
-    (UID) tables."""
+    planes holds the shard-stacked device arrays:
+    (disp4[S, 2^(lg-2), 4], rows[S, 2^lb, 4]) for dense-valued tables
+    (CHD layout), (ptags[S, nb, 2], confirm[S, nb*2, 2]) for raw (UID)
+    tables."""
 
     planes: tuple
     lb: int
     bounds: list  # minimizer-bin ranges per shard (for bookkeeping)
     store_raw: bool = False
 
-    @property
-    def fused(self):  # backwards-compatible accessor for dense stacks
-        return self.planes[0]
+    def shard_planes(self, s: int) -> tuple:
+        """The plane tuple of one shard (probe-ready)."""
+        return tuple(p[s] for p in self.planes)
 
     @property
     def n_shards(self) -> int:
@@ -129,7 +130,7 @@ def shard_hash_tables(
     used by UID tables."""
     import jax
 
-    from ..db.hash_table import HashBuildError, build_hash_table, min_lb_for
+    from ..db.hash_table import HashBuildError, build_hash_table, chd_min_lr
 
     bounds = partition_bins_equal_keys(offsets, n_shards)
     offsets = np.asarray(offsets, dtype=np.int64)
@@ -143,7 +144,7 @@ def shard_hash_tables(
         )
     else:
         vmax = int(vals_dense.max()) if len(vals_dense) else 0
-        lb = max(min_lb_for(khi - klo, vmax) for klo, khi in key_slices)
+        lb = max(chd_min_lr(khi - klo, vmax) for klo, khi in key_slices)
     while True:
         if lb > 30:
             raise HashBuildError(
@@ -156,12 +157,18 @@ def shard_hash_tables(
                 np.zeros((n_shards, (1 << lb) * 2, 2), np.uint32),
             )
         else:
-            stacks = (np.zeros((n_shards, 1 << lb, 4), np.uint32),)
+            # CHD layout (db/hash_table.py): disp plane + 2-slot rows plane
+            lg = max(2, lb - 2)
+            stacks = (
+                np.zeros((n_shards, 1 << max(0, lg - 2), 4), np.uint32),
+                np.zeros((n_shards, 1 << lb, 4), np.uint32),
+            )
         try:
             for i, (klo, khi) in enumerate(key_slices):
                 _, _, host = build_hash_table(
                     keys[klo:khi], vals[klo:khi], vals_dense[klo:khi], force_lb=lb,
                     store_raw=store_raw, keep_host=True, to_device=False,
+                    layout="chd",
                 )
                 for stack, plane in zip(stacks, host):
                     stack[i] = plane

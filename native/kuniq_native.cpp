@@ -444,7 +444,189 @@ PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
   return PyBytes_FromStringAndSize(out.data(), (Py_ssize_t)out.size());
 }
 
+/* ------------------------------------------------------------------------
+ * chd_place(hashes u64[n], lr, lg, seed, max_attempts)
+ *   -> (row_of i32[n], col_of i8[n], disp u32[2^lg])  or None on failure
+ *
+ * Host-side placement for the one-gather displaced-bucket table
+ * (db/hash_table.py module doc): every key's row is
+ *     row = (p + d0 + d1*q) mod 2^lr
+ * with p = top lr bits of the key hash, (d0, d1) the 16+16-bit displacement
+ * of bucket g(r), and q a mix of the remainder r. Buckets are placed
+ * largest-first (classic compressed hash-and-displace); per bucket,
+ * displacement candidates are screened against a packed free-slot bitmap
+ * (cache-resident: nrows/8 bytes) before the exact occupancy pass, which
+ * also catches the birthday-rare within-bucket row collisions. Sequential
+ * first-success search keeps total probed slots near the information-
+ * theoretic minimum -- the vectorized numpy fallback in db/hash_table.py
+ * evaluates whole candidate windows instead and runs ~5-8x slower.
+ */
+static inline uint64_t fmix64_plus1(uint64_t k) {
+  // matches krakenuniq_tpu.utils.bits.murmur3_finalizer (key+1 first)
+  k += 1;
+  k ^= k >> 33;
+  k *= 0xFF51AFD7ED558CCDull;
+  k ^= k >> 33;
+  k *= 0xC4CEB9FE1A85EC53ull;
+  k ^= k >> 33;
+  return k;
+}
+
+PyObject* chd_place(PyObject*, PyObject* args) {
+  PyArrayObject* hashes_arr;
+  long lr, lg, seed, max_attempts;
+  if (!PyArg_ParseTuple(args, "O!llll", &PyArray_Type, &hashes_arr, &lr, &lg,
+                        &seed, &max_attempts))
+    return nullptr;
+  if (PyArray_TYPE(hashes_arr) != NPY_UINT64 || PyArray_NDIM(hashes_arr) != 1 ||
+      !PyArray_IS_C_CONTIGUOUS(hashes_arr)) {
+    PyErr_SetString(PyExc_TypeError, "hashes must be contiguous uint64[n]");
+    return nullptr;
+  }
+  if (lr < 2 || lr > 30 || lg < 2 || lg > lr) {
+    PyErr_SetString(PyExc_ValueError, "need 2 <= lg <= lr <= 30");
+    return nullptr;
+  }
+  const int64_t n = (int64_t)PyArray_DIM(hashes_arr, 0);
+  const uint64_t* h = (const uint64_t*)PyArray_DATA(hashes_arr);
+  const uint32_t nrows = 1u << lr;
+  const uint32_t m = 1u << lg;
+  const uint32_t rowmask = nrows - 1;
+  const uint64_t GOLDEN = 0x9E3779B97F4A7C15ull;
+  const uint64_t C2 = 0xC2B2AE3D27D4EB4Full;
+
+  npy_intp dn = (npy_intp)n, dm = (npy_intp)m;
+  PyArrayObject* row_of =
+      (PyArrayObject*)PyArray_SimpleNew(1, &dn, NPY_INT32);
+  PyArrayObject* col_of = (PyArrayObject*)PyArray_SimpleNew(1, &dn, NPY_INT8);
+  PyArrayObject* disp_arr =
+      (PyArrayObject*)PyArray_ZEROS(1, &dm, NPY_UINT32, 0);
+  if (!row_of || !col_of || !disp_arr) {
+    Py_XDECREF(row_of);
+    Py_XDECREF(col_of);
+    Py_XDECREF(disp_arr);
+    return nullptr;
+  }
+  int32_t* rowp = (int32_t*)PyArray_DATA(row_of);
+  int8_t* colp = (int8_t*)PyArray_DATA(col_of);
+  uint32_t* disp = (uint32_t*)PyArray_DATA(disp_arr);
+
+  bool ok_all = true;
+  Py_BEGIN_ALLOW_THREADS {
+    // per-key fields
+    std::vector<uint32_t> p(n), q(n);
+    std::vector<uint32_t> g(n);
+    for (int64_t i = 0; i < n; i++) {
+      uint64_t hi = h[i];
+      uint64_t r = (lr == 0) ? hi : (hi & ((~0ull) >> lr));
+      p[i] = (uint32_t)(hi >> (64 - lr));
+      g[i] = (uint32_t)((r * GOLDEN) >> (64 - lg));
+      q[i] = (uint32_t)((r * C2) >> (64 - lr));
+    }
+    // counting sort key ids by bucket
+    std::vector<uint32_t> bcnt(m + 1, 0);
+    for (int64_t i = 0; i < n; i++) bcnt[g[i] + 1]++;
+    uint32_t maxsz = 0;
+    for (uint32_t b = 0; b < m; b++)
+      if (bcnt[b + 1] > maxsz) maxsz = bcnt[b + 1];
+    std::vector<uint32_t> bstart(m + 1, 0);
+    for (uint32_t b = 0; b < m; b++) bstart[b + 1] = bstart[b] + bcnt[b + 1];
+    std::vector<uint32_t> order(n);
+    {
+      std::vector<uint32_t> cur(bstart.begin(), bstart.end() - 1);
+      for (int64_t i = 0; i < n; i++) order[cur[g[i]]++] = (uint32_t)i;
+    }
+    // bucket ids ordered by size descending (counting sort over sizes)
+    std::vector<uint32_t> scnt(maxsz + 2, 0);
+    for (uint32_t b = 0; b < m; b++) scnt[bcnt[b + 1]]++;
+    std::vector<uint32_t> sstart(maxsz + 2, 0);
+    // descending: size s block starts after all larger sizes
+    {
+      uint32_t acc = 0;
+      for (int64_t s = maxsz; s >= 0; s--) {
+        sstart[s] = acc;
+        acc += scnt[s];
+      }
+    }
+    std::vector<uint32_t> border(m);
+    {
+      std::vector<uint32_t> cur(sstart);
+      for (uint32_t b = 0; b < m; b++) border[cur[bcnt[b + 1]]++] = b;
+    }
+    // occupancy + packed free bitmap
+    std::vector<uint8_t> occ(nrows, 0);
+    std::vector<uint64_t> freebits((nrows + 63) / 64, ~0ull);
+    std::vector<uint32_t> tmprows(maxsz ? maxsz : 1);
+
+    for (uint32_t bi = 0; bi < m && ok_all; bi++) {
+      uint32_t b = border[bi];
+      uint32_t sz = bcnt[b + 1];
+      if (sz == 0) break;  // size-0 block is last in descending order
+      const uint32_t* kids = &order[bstart[b]];
+      uint64_t base = ((uint64_t)b << 24) + (uint64_t)seed * 0x9E3779B9ull;
+      long t = 0;
+      for (; t < max_attempts; t++) {
+        uint64_t dmix = fmix64_plus1(base + (uint64_t)t);
+        uint32_t d0 = (uint32_t)(dmix & 0xFFFF);
+        uint32_t d1 = (uint32_t)((dmix >> 16) & 0xFFFF);
+        // bitmap screen
+        bool ok = true;
+        for (uint32_t j = 0; j < sz; j++) {
+          uint32_t i = kids[j];
+          uint32_t row = (p[i] + d0 + d1 * q[i]) & rowmask;
+          if (!((freebits[row >> 6] >> (row & 63)) & 1ull)) {
+            ok = false;
+            break;
+          }
+        }
+        if (!ok) continue;
+        // exact pass with rollback (catches within-bucket row collisions)
+        uint32_t placed = 0;
+        for (uint32_t j = 0; j < sz; j++) {
+          uint32_t i = kids[j];
+          uint32_t row = (p[i] + d0 + d1 * q[i]) & rowmask;
+          if (occ[row] >= 2) {
+            ok = false;
+            break;
+          }
+          colp[i] = (int8_t)occ[row];
+          occ[row]++;
+          rowp[i] = (int32_t)row;
+          tmprows[placed++] = row;
+        }
+        if (!ok) {
+          for (uint32_t j = 0; j < placed; j++) occ[tmprows[j]]--;
+          continue;
+        }
+        for (uint32_t j = 0; j < placed; j++) {
+          uint32_t row = tmprows[j];
+          if (occ[row] >= 2)
+            freebits[row >> 6] &= ~(1ull << (row & 63));
+        }
+        disp[b] = (d1 << 16) | d0;
+        break;
+      }
+      if (t == max_attempts) ok_all = false;
+    }
+  }
+  Py_END_ALLOW_THREADS;
+  if (!ok_all) {
+    Py_DECREF(row_of);
+    Py_DECREF(col_of);
+    Py_DECREF(disp_arr);
+    Py_RETURN_NONE;
+  }
+  PyObject* out = PyTuple_Pack(3, (PyObject*)row_of, (PyObject*)col_of,
+                               (PyObject*)disp_arr);
+  Py_DECREF(row_of);
+  Py_DECREF(col_of);
+  Py_DECREF(disp_arr);
+  return out;
+}
+
 PyMethodDef methods[] = {
+    {"chd_place", chd_place, METH_VARARGS,
+     "Displaced-bucket (CHD) hash placement for the one-gather table"},
     {"parse_unit", parse_unit, METH_VARARGS, "Parse a FASTA/FASTQ work unit"},
     {"encode_unit", encode_unit, METH_VARARGS, "2-bit encode parsed records"},
     {"encode_unit_packed", encode_unit_packed, METH_VARARGS,
@@ -466,6 +648,6 @@ PyMODINIT_FUNC PyInit_kuniq_native(void) {
   import_array();
   init_tables();
   PyObject* mod = PyModule_Create(&moduledef);
-  if (mod) PyModule_AddIntConstant(mod, "API_VERSION", 4);
+  if (mod) PyModule_AddIntConstant(mod, "API_VERSION", 5);
   return mod;
 }

@@ -9,21 +9,36 @@ from krakenuniq_tpu.utils.bits import murmur3_finalizer
 
 
 @pytest.mark.parametrize("n", [10, 1000, 50000])
-def test_build_and_lookup(rng, n):
+@pytest.mark.parametrize("layout", ["auto", "fused"])
+def test_build_and_lookup(rng, n, layout):
     keys = np.unique(rng.integers(0, 1 << 62, size=n, dtype=np.uint64))
     vals = rng.integers(1, 1 << 31, size=len(keys), dtype=np.uint32)
     vals_dense = rng.integers(1, 1 << 20, size=len(keys)).astype(np.int32)
-    planes, lb = build_hash_table(keys, vals, vals_dense)
-    # fused layout: every key's dense value is stored exactly once in the
-    # low lb-1 bits of an occupied slot's value word
-    assert len(planes) == 1
-    fused = np.asarray(planes[0]).reshape(-1, 2)  # [nb*slots, (tag, val)]
-    occupied = (fused != 0).any(axis=1)
-    assert occupied.sum() == len(keys)
-    tax_mask = np.uint32((1 << (lb - 1)) - 1)
-    np.testing.assert_array_equal(
-        np.sort(fused[occupied, 1] & tax_mask), np.sort(vals_dense.astype(np.uint32))
-    )
+    planes, lb = build_hash_table(keys, vals, vals_dense, layout=layout)
+    if layout == "fused":
+        # fused layout: every key's dense value is stored exactly once in
+        # the low lb-1 bits of an occupied slot's value word
+        assert len(planes) == 1
+        fused = np.asarray(planes[0]).reshape(-1, 2)  # [nb*slots, (tag, val)]
+        occupied = (fused != 0).any(axis=1)
+        assert occupied.sum() == len(keys)
+        tax_mask = np.uint32((1 << (lb - 1)) - 1)
+        np.testing.assert_array_equal(
+            np.sort(fused[occupied, 1] & tax_mask),
+            np.sort(vals_dense.astype(np.uint32)),
+        )
+    else:
+        # CHD layout: (disp4, rows); every key's value is stored exactly
+        # once in the low lb bits of an occupied 2-word slot
+        assert len(planes) == 2 and planes[0].shape[1] == 4
+        rows = np.asarray(planes[1]).reshape(-1, 2)  # [2^lb * 2, (hi, lo)]
+        occupied = (rows != 0).any(axis=1)
+        assert occupied.sum() == len(keys)
+        v_mask = np.uint32((1 << lb) - 1)
+        np.testing.assert_array_equal(
+            np.sort(rows[occupied, 1] & v_mask),
+            np.sort(vals_dense.astype(np.uint32)),
+        )
 
     # queries: all keys + misses
     misses = rng.integers(0, 1 << 62, size=1000, dtype=np.uint64)
@@ -40,6 +55,27 @@ def test_build_and_lookup(rng, n):
         np.zeros(len(keys), bool), lb,
     )
     assert (np.asarray(w2) == 0).all()
+
+
+def test_chd_numpy_fallback_matches_native(rng, monkeypatch):
+    """The vectorized numpy placement (no native extension) yields a table
+    the probe answers identically."""
+    import krakenuniq_tpu.db.hash_table as ht
+
+    keys = np.unique(rng.integers(0, 1 << 62, size=20000, dtype=np.uint64))
+    vals = rng.integers(1, 1 << 16, size=len(keys), dtype=np.uint32)
+    vd = rng.integers(1, 1 << 15, size=len(keys)).astype(np.int32)
+    monkeypatch.setattr(
+        ht, "_chd_place", lambda *a, **k: ht._chd_place_numpy(*a, **k)
+    )
+    planes, lb = build_hash_table(keys, vals, vd)
+    assert len(planes) == 2
+    w = np.asarray(
+        hash_lookup_kmers(
+            planes, murmur3_finalizer(keys), np.ones(len(keys), bool), lb
+        )
+    )
+    np.testing.assert_array_equal(w.astype(np.int32), vd)
 
 
 def test_store_raw_values(rng):
@@ -61,9 +97,9 @@ def test_value_fit_grows_table(rng):
     keys = np.unique(rng.integers(0, 1 << 62, size=100, dtype=np.uint64))
     vals = np.arange(1, len(keys) + 1, dtype=np.uint32)
     vals_dense = vals.astype(np.int32).copy()
-    vals_dense[0] = (1 << 22) - 1  # needs a 22-bit field -> lb >= 23
+    vals_dense[0] = (1 << 22) - 1  # needs a 22-bit value field -> lr >= 22
     planes, lb = build_hash_table(keys, vals, vals_dense)
-    assert lb >= 23
+    assert lb >= 22
     w = np.asarray(
         hash_lookup_kmers(planes, murmur3_finalizer(keys), np.ones(len(keys), bool), lb)
     )
@@ -213,12 +249,14 @@ def test_skewed_shard_stack_grows(rng):
     sharded = shard_hash_tables(keys, vals, vals_dense, offsets, 4)
     assert sharded.n_shards == 4
     # every key resolves through its shard's table
-    fused = np.asarray(sharded.fused)
     hit = np.zeros(n, dtype=np.int64)
     for s in range(4):
         w = np.asarray(
             hash_lookup_kmers(
-                (fused[s],), murmur3_finalizer(keys), np.ones(n, bool), sharded.lb
+                sharded.shard_planes(s),
+                murmur3_finalizer(keys),
+                np.ones(n, bool),
+                sharded.lb,
             )
         )
         hit += w.astype(np.int64)
