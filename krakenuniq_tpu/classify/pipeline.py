@@ -126,6 +126,11 @@ class ClassifyOptions:
     # budget share one pass of the chunk tables through HBM (the analogue of
     # the reference re-reading all reads per chunk, classify.cpp:587-648)
     ooc_group_bytes: int = 2 << 30
+    # double-buffer the chunk stream: plan chunks at HALF the preload
+    # budget so the next chunk table uploads while the current one's probes
+    # run; total resident bytes stay within --preload-size. Falls back to
+    # single-buffering when half the budget cannot hold a legal chunk.
+    ooc_double_buffer: bool = True
     # device spans kept in flight: the device crunches the newest span(s)
     # while the host formats/fetches the oldest; deeper pipelines hide more
     # transfer latency at the cost of per-span output buffers staying live
@@ -271,31 +276,55 @@ class Classifier:
                     else:
                         use_ooc = True
 
+        # --- double-buffered chunk streaming (VERDICT r3 #4): when enabled,
+        # chunks are planned at HALF the --preload-size budget so TWO chunk
+        # tables can be resident at once -- the next chunk's upload overlaps
+        # the current chunk's probes (_ooc_probe_group) while the TOTAL
+        # resident bytes stay within the user's budget. If the halved budget
+        # cannot hold a legal chunk table, fall back to full-budget
+        # single-buffered streaming.
+        self._ooc_prefetch = False
+
+        def build_ooc_set(load_chunked_db, pool_arg, multiple=1):
+            def build(budget):
+                ooc = []
+                for d in self.db_dirs:
+                    vd = pre_vd.get(d)
+                    ooc.append(
+                        load_chunked_db(
+                            d, budget, self.taxonomy, uid_database=uid_database,
+                            pool=pool_arg, chunk_multiple=multiple,
+                            preloaded=(None, None, None, vd) if vd is not None else None,
+                        )
+                    )
+                if any(c.pool is None for c in ooc) and any(
+                    c.pool is not None for c in ooc
+                ):
+                    ooc = [
+                        load_chunked_db(
+                            d, budget, self.taxonomy, uid_database=uid_database,
+                            pool=None, chunk_multiple=multiple,
+                        )
+                        for d in self.db_dirs
+                    ]
+                return ooc
+
+            if self.opts.ooc_double_buffer and ps:
+                try:
+                    ooc = build(max(ps // 2, 1))
+                    self._ooc_prefetch = True
+                    return ooc
+                except ValueError:
+                    self._ooc_prefetch = False
+            return build(ps)
+
         if use_ooc and not use_mesh:
             from ..db.chunked import load_chunked_db
 
             pool_arg = "auto" if self.opts.value_pool else None
             if len(self.db_dirs) > 1 and pool_arg == "auto" and not uid_database:
                 pool_arg = joint_pool()
-            self._ooc = []
-            for d in self.db_dirs:
-                vd = pre_vd.pop(d, None)
-                self._ooc.append(
-                    load_chunked_db(
-                        d, ps, self.taxonomy, uid_database=uid_database,
-                        pool=pool_arg,
-                        preloaded=(None, None, None, vd) if vd is not None else None,
-                    )
-                )
-            if any(c.pool is None for c in self._ooc) and any(
-                c.pool is not None for c in self._ooc
-            ):
-                self._ooc = [
-                    load_chunked_db(
-                        d, ps, self.taxonomy, uid_database=uid_database, pool=None
-                    )
-                    for d in self.db_dirs
-                ]
+            self._ooc = build_ooc_set(load_chunked_db, pool_arg)
             self._pool = self._ooc[0].pool
             ks = {cdb.k for cdb in self._ooc}
             if len(ks) != 1:
@@ -315,26 +344,7 @@ class Classifier:
             pool_arg = "auto" if self.opts.value_pool else None
             if len(self.db_dirs) > 1 and pool_arg == "auto" and not uid_database:
                 pool_arg = joint_pool()
-            self._ooc = []
-            for d in self.db_dirs:
-                vd = pre_vd.pop(d, None)
-                self._ooc.append(
-                    load_chunked_db(
-                        d, ps, self.taxonomy, uid_database=uid_database,
-                        pool=pool_arg, chunk_multiple=n_mdb,
-                        preloaded=(None, None, None, vd) if vd is not None else None,
-                    )
-                )
-            if any(c.pool is None for c in self._ooc) and any(
-                c.pool is not None for c in self._ooc
-            ):
-                self._ooc = [
-                    load_chunked_db(
-                        d, ps, self.taxonomy, uid_database=uid_database,
-                        pool=None, chunk_multiple=n_mdb,
-                    )
-                    for d in self.db_dirs
-                ]
+            self._ooc = build_ooc_set(load_chunked_db, pool_arg, multiple=n_mdb)
             self._pool = self._ooc[0].pool
             ks = {cdb.k for cdb in self._ooc}
             if len(ks) != 1:
@@ -895,11 +905,32 @@ class Classifier:
         for db_i, cdb in enumerate(self._ooc):
             if mesh is None:
                 pcfg = self._probe_cfg(db_i, packed)
-                for planes in cdb.chunk_planes:
-                    dev = tuple(jax.device_put(p) for p in planes)
+                # double-buffered stream: device_put is asynchronous, so
+                # issuing chunk i+1's upload BEFORE dispatching chunk i's
+                # probes overlaps the host->HBM transfer with compute; the
+                # chunk planner already halved the budget so both tables fit
+                # (ooc_double_buffer). Single-buffered mode uploads lazily.
+                n_c = len(cdb.chunk_planes)
+                pending = (
+                    tuple(jax.device_put(p) for p in cdb.chunk_planes[0])
+                    if n_c
+                    else None
+                )
+                for ci in range(n_c):
+                    dev = pending
+                    if self._ooc_prefetch and ci + 1 < n_c:
+                        pending = tuple(
+                            jax.device_put(p) for p in cdb.chunk_planes[ci + 1]
+                        )
+                    elif ci + 1 < n_c:
+                        pending = None
                     for st in spans:
                         st["acc"] = probe_chunk(
                             st["acc"], dev, st["codes"], st["ambig"], st["lengths"], pcfg
+                        )
+                    if pending is None and ci + 1 < n_c:
+                        pending = tuple(
+                            jax.device_put(p) for p in cdb.chunk_planes[ci + 1]
                         )
                     del dev  # refcount drop; freed once the last probe retires
                 continue
@@ -914,18 +945,34 @@ class Classifier:
                 for p_i in range(n_planes)
             ]
             assert len(cdb.chunk_planes) % n_g == 0  # chunk_multiple=n_g
-            for g in range(0, len(cdb.chunk_planes), n_g):
+            starts = list(range(0, len(cdb.chunk_planes), n_g))
+
+            def put_group(g):
                 group = cdb.chunk_planes[g : g + n_g]
-                stacked = tuple(
+                return tuple(
                     jax.device_put(
                         np.stack([gp[p_i] for gp in group]), db_shs[p_i]
                     )
                     for p_i in range(n_planes)
                 )
+
+            # same double-buffering as the single-chip stream, at group
+            # granularity: group g+1's (sharded) upload is issued before
+            # group g's probes dispatch
+            pending = put_group(starts[0]) if starts else None
+            for gi, g in enumerate(starts):
+                stacked = pending
+                pending = (
+                    put_group(starts[gi + 1])
+                    if self._ooc_prefetch and gi + 1 < len(starts)
+                    else None
+                )
                 for st in spans:
                     st["acc"] = fn(
                         st["acc"], *stacked, st["codes"], st["ambig"], st["lengths"]
                     )
+                if pending is None and gi + 1 < len(starts):
+                    pending = put_group(starts[gi + 1])
                 del stacked
 
     def _sharded_acc_alt(self, cfg2: "StepConfig"):

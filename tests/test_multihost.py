@@ -367,3 +367,68 @@ def test_dense_resolve_capacity_guard():
     _check_dense_resolve_capacity(1 << 27)  # 2*T == 2^28: still exact
     with pytest.raises(ValueError, match="dense-mode tree resolution"):
         _check_dense_resolve_capacity((1 << 27) + 1)
+
+
+@pytest.mark.parametrize(
+    "kw,uid",
+    [
+        ({}, False),
+        ({"preload_size": "tiny"}, False),
+        ({}, True),
+        ({"device_counters": True}, True),
+    ],
+)
+def test_multihost_4way_matrix(tmp_path, kw, uid):
+    """4-host span sharding across the remaining mode matrix (OOC and UID
+    included): merged kraken output and folded report byte-identical to the
+    single-host run at the same span geometry."""
+    if kw.get("preload_size") == "tiny":
+        kw = {**kw, "preload_size": _tiny_budget()}
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+    from krakenuniq_tpu.parallel.multihost import (
+        merge_counts,
+        merge_kraken_outputs,
+    )
+    from krakenuniq_tpu.report import TaxReport, DEFAULT_COLS
+
+    reads = os.path.join(DATA, "reads.fa")
+    geo = {"work_unit_size": 1000, "device_batch_reads": 32}
+    n_hosts = 4
+    parts, merged_counts, hosts = [], {}, []
+    for hid in range(n_hosts):
+        c = Classifier(
+            [DATA],
+            ClassifyOptions(
+                print_progress=False, host_id=hid, n_hosts=n_hosts, **geo, **kw
+            ),
+            uid_database=uid,
+        )
+        kp = tmp_path / f"k{hid}.out"
+        with open(kp, "w") as fh:
+            c.run([reads], kraken_fh=fh)
+        parts.append((str(kp), c.span_manifest))
+        merge_counts(merged_counts, c.finalized_counts())
+        hosts.append(c)
+
+    span_ids = sorted(i for _p, m in parts for i, _a, _b in m)
+    assert span_ids == list(range(len(span_ids)))
+    assert len({i for _p, m in parts if m for i, _a, _b in m}) >= n_hosts
+
+    merged = tmp_path / "merged.out"
+    merge_kraken_outputs(str(merged), parts)
+
+    c_ref = Classifier(
+        [DATA], ClassifyOptions(print_progress=False, **geo, **kw),
+        uid_database=uid,
+    )
+    ref_out, ref_rep = io.StringIO(), io.StringIO()
+    c_ref.run([reads], kraken_fh=ref_out)
+    c_ref.write_report(ref_rep)
+    assert merged.read_text() == ref_out.getvalue()
+
+    hosts[0].ensure_counts_files()
+    rep = TaxReport(hosts[0].taxonomy, merged_counts)
+    rep.set_cols(DEFAULT_COLS)
+    buf = io.StringIO()
+    rep.write(buf)
+    assert buf.getvalue() == ref_rep.getvalue()

@@ -261,3 +261,43 @@ def test_ooc_cache_roundtrip(tmp_path):
     for p1, p2 in zip(c1.chunk_planes, c2.chunk_planes):
         for a, b in zip(p1, p2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ooc_double_buffer_modes(tmp_path):
+    """Double-buffered streaming (default) plans chunks at half the budget
+    and prefetches the next chunk table; outputs stay byte-identical to
+    single-buffered streaming and to the resident goldens. A budget whose
+    half cannot hold a legal chunk falls back to single-buffering."""
+    reads = os.path.join(DATA, "reads.fa")
+    budget = _tiny_budget(DATA)
+    k_db, r_db, c_db = _run([DATA], reads, {"preload_size": budget})
+    assert c_db._ooc is not None and c_db._ooc_prefetch
+    k_sb, r_sb, c_sb = _run(
+        [DATA], reads, {"preload_size": budget, "ooc_double_buffer": False}
+    )
+    assert c_sb._ooc is not None and not c_sb._ooc_prefetch
+    assert (k_db, r_db) == (k_sb, r_sb)
+    # double-buffered chunks are planned at half the budget: two resident
+    # tables fit what --preload-size promised
+    assert 2 * max(
+        sum(p.nbytes for p in planes) for planes in c_db._ooc[0].chunk_planes
+    ) <= budget
+    with open(os.path.join(DATA, "kraken.out")) as f:
+        assert k_db == f.read()
+
+    # fallback: walk the budget down until half of it cannot hold a legal
+    # chunk table -- streaming must drop to single-buffering, byte-equal
+    lo = budget
+    found = False
+    for _ in range(12):
+        lo = int(lo * 0.75)
+        try:
+            k_fb, r_fb, c_fb = _run([DATA], reads, {"preload_size": lo})
+        except ValueError:
+            break  # full budget below the minimum too
+        if c_fb._ooc is not None and not c_fb._ooc_prefetch:
+            assert (k_fb, r_fb) == (k_db, r_db)
+            found = True
+            break
+    if not found:
+        pytest.skip("fixture too small to hit the single-buffer fallback window")
