@@ -23,11 +23,13 @@ import numpy as np
 
 
 def timeit(fn, n=5):
-    jax.block_until_ready(fn())
+    # np.asarray forces a real completion barrier; block_until_ready acks
+    # early over the tunneled transport (BENCHNOTES §1)
+    np.asarray(fn())
     t0 = time.time()
-    for _ in range(n):
-        out = fn()
-    jax.block_until_ready(out)
+    for _ in range(n - 1):
+        fn()
+    np.asarray(fn())
     return (time.time() - t0) / n
 
 
