@@ -52,20 +52,24 @@ def main():
     dt = timeit(lambda: flat(t_dev, idx_dev))
     print(f"A flat gather: {dt*1e3:.1f}ms ({dt/nq*1e9:.2f} ns/row)")
 
-    # B: sort queries by row id (what a tile-scan needs), then flat gather
+    # B: sort queries by row id (what a tile-scan needs). Outputs reduce
+    # to a SCALAR so the barrier fetch does not pollute the timing (a full
+    # 8.5M-array np.asarray adds its own D2H transfer time).
     @jax.jit
     def sortq(i):
-        return jax.lax.sort(i)
+        s = jax.lax.sort(i)
+        return s[0] + s[-1] + s[nq // 2]
 
     dt_s = timeit(lambda: sortq(idx_dev))
-    print(f"B sort i32 queries: {dt_s*1e3:.1f}ms")
+    print(f"B sort i32 queries (scalar out): {dt_s*1e3:.1f}ms")
 
     @jax.jit
     def sort_u64_pair(h, i):
-        return jax.lax.sort((h, i), num_keys=1)
+        hs, is_ = jax.lax.sort((h, i), num_keys=1)
+        return hs[0] + hs[-1] + is_[nq // 2].astype(jnp.uint64)
 
     dt_sp = timeit(lambda: sort_u64_pair(h_dev, idx_dev))
-    print(f"B2 sort u64 keys + i32 payload: {dt_sp*1e3:.1f}ms")
+    print(f"B2 sort u64 keys + i32 payload (scalar out): {dt_sp*1e3:.1f}ms")
 
     idx_sorted = np.sort(idx)
     idx_sorted_dev = jax.device_put(idx_sorted)
