@@ -37,7 +37,6 @@ from .hash_table import (
     build_hash_table,
     chd_min_lr,
     chd_table_bytes,
-    min_lb_for,
 )
 
 # fused-fallback rows are 16B/bucket; raw (UID) two-level is 24B/bucket;
@@ -166,9 +165,9 @@ def build_chunked_db(
     """Build per-chunk hash tables on host. Keys must be the bin-sorted pair
     array (so each chunk's keys are a contiguous slice).
 
-    A chunk whose cuckoo placement stalls at the planned width restarts the
-    whole set: one bit wider if the budget allows (halves the load), else
-    cut finer at the same width (fewer keys per chunk). Uniform lb keeps the
+    A chunk whose placement stalls at the planned width restarts the whole
+    set: one bit wider if the budget allows (halves the load), else cut
+    finer at the same width (fewer keys per chunk). Uniform width keeps the
     probe program at one compile per database."""
     values_for_fit = vals if store_raw else vals_dense
     vmax = int(np.asarray(values_for_fit).max()) if len(keys) else 0

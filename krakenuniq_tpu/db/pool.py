@@ -13,8 +13,8 @@ When the closure fits 16 bits, every hot-path table is re-indexed by POOL id
 instead of dense taxonomy id:
 
   * hash-table value words store pool ids (narrower value field, smaller
-    tables for big taxonomies: min_lb_for needs bit_length(P) + 1, not
-    bit_length(2.4M) + 1);
+    tables for big taxonomies: the CHD width floor is bit_length(P), not
+    bit_length(2.4M) -- chd_min_lr in db/hash_table.py);
   * the resolve tables (tin/tout/parent) shrink to [P] -- VMEM-resident
     gathers instead of a 2.4M-row HBM table -- and the tie-LCA chain walk
     runs on the VIRTUAL (closure) parent in <= closure-depth steps;
