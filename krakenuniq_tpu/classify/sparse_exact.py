@@ -52,25 +52,28 @@ MAX_UNITS = 1 << UNIT_BITS
 
 
 def _seg_cumsum(reset, vals):
-    """Segmented inclusive cumsum (vals >= 0): cumsum minus the running
-    value at the segment start. The start values are recovered with a plain
-    cummax -- the global cumsum is nondecreasing, so the most recent reset
-    holds the running max of `S - vals` over reset lanes. Native cumsum/
-    cummax ops keep the XLA graph tiny (an associative_scan formulation of
-    these four scans cost ~4 minutes of remote compile time at B=8192)."""
-    s = jnp.cumsum(vals)
-    start = jax.lax.cummax(jnp.where(reset, s - vals, jnp.int64(-1)))
+    """Segmented inclusive cumsum (vals >= 0, total < 2^31): cumsum minus
+    the running value at the segment start. The start values are recovered
+    with a plain cummax -- the global cumsum is nondecreasing, so the most
+    recent reset holds the running max of `S - vals` over reset lanes.
+    Native cumsum/cummax ops keep the XLA graph tiny (an associative_scan
+    formulation of these scans cost ~4 minutes of remote compile time at
+    B=8192), and i32 lanes halve the HBM traffic of each pass."""
+    v = vals.astype(jnp.int32)
+    s = jnp.cumsum(v)
+    start = jax.lax.cummax(jnp.where(reset, s - v, jnp.int32(-1)))
     return s - start
 
 
-def _seg_cummax(reset, vals, val_bits):
+def _seg_cummax(reset, vals, val_bits, dtype=jnp.int64):
     """Segmented inclusive cummax (vals >= -1, vals + 1 < 2^val_bits):
-    pack (segment_id, val) into one monotone-by-segment i64 key and take a
-    plain cummax."""
-    seg = jnp.cumsum(reset.astype(jnp.int64))
-    packed = (seg << jnp.int64(val_bits)) | (vals + jnp.int64(1))
+    pack (segment_id, val) into one monotone-by-segment key and take a
+    plain cummax. Callers pick i32 packing whenever segment-count bits +
+    val_bits fit 31 (the scan pass then moves half the bytes)."""
+    seg = jnp.cumsum(reset.astype(jnp.int32)).astype(dtype)
+    packed = (seg << dtype(val_bits)) | (vals.astype(dtype) + dtype(1))
     m = jax.lax.cummax(packed)
-    return (m & jnp.int64((1 << val_bits) - 1)) - jnp.int64(1)
+    return (m & dtype((1 << val_bits) - 1)) - dtype(1)
 
 
 def sparse_stats_core(
@@ -91,6 +94,8 @@ def sparse_stats_core(
     th = (1 << p) // 4
     b, w = taxa_dense.shape
     n = b * w
+    # i32 positions/packing headroom: 2GB of lanes would not fit HBM anyway
+    assert n < (1 << 29), "span lane count exceeds i32 scan packing"
     _PAD = jnp.uint64(_PAD_INT)
     _EVENT_TAG = jnp.uint64(_EVENT_TAG_INT)
     unit = unit_id.astype(jnp.uint64)[:, None]
@@ -100,7 +105,7 @@ def sparse_stats_core(
         | enc.astype(jnp.uint64)
     )
     keyf = jnp.where(hll_lanes, key, _PAD).reshape(-1)
-    pos = jnp.arange(n, dtype=jnp.int64)
+    pos = jnp.arange(n, dtype=jnp.int32)
     ks, ps = jax.lax.sort((keyf, pos), num_keys=1)
     valid = ks != _PAD
 
@@ -113,28 +118,28 @@ def sparse_stats_core(
 
     # packing headroom for the cummax trick: positions and counts are < n
     pos_bits = max(2, int(n - 1).bit_length() + 2)
-    # per-pair: max stream position and whether the pair is a singleton
-    pair_maxpos = _seg_cummax(pb, ps, pos_bits)
-    pair_cnt = _seg_cumsum(pb, jnp.ones(n, jnp.int64))
+    # per-pair stats come FREE from sort stability: within a pair (equal
+    # keys) payloads keep stream order, so at a pair-end lane ps IS the
+    # pair's max stream position, and pb there says the pair is a
+    # singleton. (Round 3 spent two extra segmented scans on these.)
     # group max over pair-end values (maxpos << 1 | singleton): stream
     # positions are unique, so the max belongs to the pair holding the
     # group's LAST stream position; its low bit says that last insert was a
     # first occurrence
-    v_pair = jnp.where(
-        pe, (pair_maxpos << jnp.int64(1)) | (pair_cnt == 1), jnp.int64(-1)
-    )
+    v_pair = jnp.where(pe, (ps.astype(jnp.int64) << 1) | pb, jnp.int64(-1))
     edge_v = _seg_cummax(gb, v_pair, pos_bits + 1)
     # distinct-pair count within the group, inclusive; at ge it is d
-    d_sofar = _seg_cumsum(gb, pb.astype(jnp.int64))
+    d_sofar = _seg_cumsum(gb, pb)
 
     stays_end = (d_sofar < th) | (
         (d_sofar == th) & ((edge_v & jnp.int64(1)) == 1)
     )
     # broadcast the group-end decision to every lane of the group: in
     # reversed order each group starts at its (original) end, which carries
-    # the decision; a segmented max-scan spreads it
+    # the decision; a segmented max-scan spreads it (i32 packing: segment
+    # count bits + 2 value bits fit comfortably)
     stays_rev = _seg_cummax(
-        jnp.flip(ge), jnp.flip(ge & stays_end).astype(jnp.int64), 2
+        jnp.flip(ge), jnp.flip(ge & stays_end), 2, dtype=jnp.int32
     )
     stays_lane = jnp.flip(stays_rev) > 0
 
