@@ -74,7 +74,10 @@ def _scores_pallas(tins, touts, hit_mask, interpret: bool = False):
     big = jnp.int32(1) << jnp.int32(30)
     tins = jnp.where(hit_mask, tins, big)
     touts = jnp.where(hit_mask, touts, jnp.int32(-1))
-    tb = min(_SCORE_TB, b)
+    # the Mosaic stack holds ~O(unroll) [tb, w] temporaries: shrink the
+    # batch tile as w grows so tb*w stays at the measured-safe budget.
+    # Mosaic block sublane dims must be multiples of 8
+    tb = min(max(8, (_SCORE_TB * 130 // w) & ~7), b)
     pad = (-b) % tb
     if pad:
         z = ((0, pad), (0, 0))
@@ -144,7 +147,11 @@ def resolve_reads(
     tins = rows[..., 0]
     touts = rows[..., 1]
 
-    if jax.default_backend() == "tpu":
+    # the kernel's O(W^2) compares and static j-unroll suit the short-read
+    # buckets (W <= 482 at the 512 length bucket); long-read buckets keep
+    # the O(W log W) event sort, where it is asymptotically right anyway
+    w = taxa_dense.shape[1]
+    if jax.default_backend() == "tpu" and w <= 512:
         score = _scores_pallas(tins, touts, hit_mask)
     else:
         score = _scores_sort(tins, touts, hit_mask)
