@@ -299,11 +299,18 @@ def classify_step_core(
             ranks = jnp.cumsum(is_first.astype(jnp.int32))
             n_u = ranks[-1]
             pad = jnp.int32(2**30)  # > any dense id; keeps the lut sorted
-            pos = jnp.where(is_first, ranks - 1, jnp.int32(u_cap))
-            lut = (
-                jnp.full((u_cap,), pad, jnp.int32)
-                .at[pos]
-                .set(jnp.where(is_first, s, pad), mode="drop")
+            # compact the distinct values by PROBING, not scattering: ranks
+            # is a nondecreasing plane, so the r-th distinct value sits at
+            # the first position where ranks == r -- u_cap binary-search
+            # probes replace a full-lane-plane scatter (the §5 scatter cost
+            # class, 80-500 ms at 8.5M lanes; measured the dominant term of
+            # the fallback span program)
+            r_targets = jnp.arange(1, u_cap + 1, dtype=jnp.int32)
+            idx = jnp.searchsorted(ranks, r_targets, side="left")
+            lut = jnp.where(
+                r_targets <= n_u,
+                jnp.take(s, jnp.minimum(idx, s.shape[0] - 1)),
+                pad,
             )
             n_ids = taxid_table.shape[0]  # dense id space (static)
             if cfg.data_axis is not None:
@@ -337,7 +344,25 @@ def classify_step_core(
                 .at[lut]
                 .set(jnp.arange(u_cap, dtype=jnp.int32), mode="drop")
             )
-            local_taxa = jnp.take(remap, taxon_dense, axis=0)
+            # answer the [B, W] remap with a 16B ROW gather + 4-way lane
+            # select instead of a 1-D element gather -- the element form
+            # costs ~8.9 ns/lane vs ~6.7 for 4-u32 rows (BENCHNOTES.md §2;
+            # same trick as the CHD displacement fetch, lookup/_probe_chd)
+            pad4 = (-n_ids) % 4
+            remap4 = jnp.concatenate(
+                [remap, jnp.zeros((pad4,), jnp.int32)]
+            ).reshape(-1, 4)
+            rows4 = jnp.take(remap4, taxon_dense >> 2, axis=0)  # [B, W, 4]
+            ln = taxon_dense & 3
+            local_taxa = jnp.where(
+                ln == 0,
+                rows4[..., 0],
+                jnp.where(
+                    ln == 1,
+                    rows4[..., 1],
+                    jnp.where(ln == 2, rows4[..., 2], rows4[..., 3]),
+                ),
+            )
             pack_ids = local_taxa.astype(jnp.uint32)
             if not cfg.quick:
                 pack_call = jnp.take(remap, call_dense, axis=0).astype(jnp.uint32)
