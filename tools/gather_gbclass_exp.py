@@ -1,12 +1,11 @@
-"""Extend the §2 gather cost model to the GB size class: per-row cost of
-2/4/8-byte-row random gathers from a 1.07 GB table, plus the 67 MB
-displacement-class control. Decides whether a one-slot 8B-row CHD layout
-(one 2-u32 gather instead of one 4-u32) is worth a format change.
+"""Extend the §2 gather cost model to the GB size class: 16B-row gathers
+([2^26, 4] u32) vs 8B u64 element gathers ([2^27]) from the same 1.07 GB,
+plus the 67 MB displacement-class control. Decides whether a one-slot
+8B-row CHD layout is worth a format change.
 
 Usage: python tools/gather_gbclass_exp.py [n_queries_millions]
 """
 
-import os
 import sys
 import time
 
@@ -15,8 +14,7 @@ import jax
 import jax.numpy as jnp
 
 NQ = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 8_520_000
-ROWS_GB = 1 << 26  # x 16B = 1.07 GB at 4 u32
-ROWS_DISP = 1 << 24  # x 4B u32 words = 67 MB
+ROWS_GB = 1 << 26
 
 
 def timeit(fn, *a, n=5):
@@ -32,33 +30,35 @@ def timeit(fn, *a, n=5):
 def main():
     rng = np.random.default_rng(0)
     idx = jax.device_put(rng.integers(0, ROWS_GB, size=NQ).astype(np.int32))
-    idx2 = jax.device_put(
-        rng.integers(0, 2 * ROWS_GB, size=NQ).astype(np.int32)
-    )
-    t4 = jax.device_put(
-        rng.integers(0, 2**32, size=(ROWS_GB, 4), dtype=np.uint64).astype(np.uint32)
-    )
+    idx2 = jax.device_put(rng.integers(0, 2 * ROWS_GB, size=NQ).astype(np.int32))
+
+    raw = rng.integers(0, 2**64, size=2 * ROWS_GB, dtype=np.uint64)
+    t4 = jax.device_put(raw.view(np.uint32).reshape(ROWS_GB, 4))
 
     @jax.jit
     def g4(t, i):
         r = jnp.take(t, i, axis=0)
         return jnp.sum(r[:, 0] ^ r[:, 3])
 
-    @jax.jit
-    def g2(t, i):
-        r = jnp.take(t.reshape(2 * ROWS_GB, 2), i, axis=0)
-        return jnp.sum(r[:, 0] ^ r[:, 1])
-
     ms4 = timeit(g4, t4, idx)
-    print(f"1.07GB 4-u32 rows: {ms4:7.1f} ms  ({ms4*1e6/NQ:5.2f} ns/row)", flush=True)
-    ms2 = timeit(g2, t4, idx2)
-    print(f"1.07GB 2-u32 rows: {ms2:7.1f} ms  ({ms2*1e6/NQ:5.2f} ns/row)", flush=True)
+    print(f"1.07GB [2^26,4]u32 row gather: {ms4:7.1f} ms ({ms4*1e6/NQ:5.2f} ns/q)", flush=True)
     del t4
 
+    t8 = jax.device_put(raw)
+
+    @jax.jit
+    def g8(t, i):
+        r = jnp.take(t, i)
+        return jnp.sum(r)
+
+    ms8 = timeit(g8, t8, idx2)
+    print(f"1.07GB u64 element gather:     {ms8:7.1f} ms ({ms8*1e6/NQ:5.2f} ns/q)", flush=True)
+    del t8
+
     t1 = jax.device_put(
-        rng.integers(0, 2**32, size=(ROWS_DISP // 4, 4), dtype=np.uint64).astype(np.uint32)
+        raw[: (1 << 22) * 2].view(np.uint32).reshape(1 << 22, 4)
     )
-    idx3 = jax.device_put(rng.integers(0, ROWS_DISP // 4, size=NQ).astype(np.int32))
+    idx3 = jax.device_put(rng.integers(0, 1 << 22, size=NQ).astype(np.int32))
 
     @jax.jit
     def gd(t, i):
@@ -66,7 +66,7 @@ def main():
         return jnp.sum(r[:, 0] ^ r[:, 2])
 
     msd = timeit(gd, t1, idx3)
-    print(f"67MB 4-u32 rows:   {msd:7.1f} ms  ({msd*1e6/NQ:5.2f} ns/row)", flush=True)
+    print(f"67MB [2^22,4]u32 row gather:   {msd:7.1f} ms ({msd*1e6/NQ:5.2f} ns/q)", flush=True)
 
 
 if __name__ == "__main__":
