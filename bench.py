@@ -143,6 +143,10 @@ def main():
     )
     table_gb = sum(int(np.prod(p.shape)) * 4 for p in c_dc._db_planes[0]) / 1e9
     RESULT["table_gb"] = round(table_gb, 2)
+    # the relay's upload rate this session (BENCHNOTES §4: swings 3-10x
+    # between sessions and floors every end-to-end figure) -- recorded so
+    # cross-round artifacts can be read against their link weather
+    RESULT["link_upload_mbps"] = round(table_gb * 1e3 / max(load_s, 1e-9), 1)
     print(
         f"db: {n_keys/1e6:.1f}M keys, taxonomy {tax_nodes/1e6:.2f}M nodes, "
         f"hash lb={c_dc.dbs[0].hash_lb} ({table_gb:.2f}GB table, "
