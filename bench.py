@@ -143,10 +143,19 @@ def main():
     )
     table_gb = sum(int(np.prod(p.shape)) * 4 for p in c_dc._db_planes[0]) / 1e9
     RESULT["table_gb"] = round(table_gb, 2)
-    # the relay's upload rate this session (BENCHNOTES §4: swings 3-10x
-    # between sessions and floors every end-to-end figure) -- recorded so
-    # cross-round artifacts can be read against their link weather
-    RESULT["link_upload_mbps"] = round(table_gb * 1e3 / max(load_s, 1e-9), 1)
+    # link weather (BENCHNOTES §4: swings 3-10x between sessions and floors
+    # every end-to-end figure). Two distinct quantities, both MB/s:
+    #   load_MBps -- table GB over the WHOLE Classifier load (disk read +
+    #     table build/cache + upload); a coarse per-round context figure.
+    #   link_upload_MBps -- a separately timed device_put of a fresh 256 MB
+    #     host buffer, measuring just the host->device link this session.
+    RESULT["load_MBps"] = round(table_gb * 1e3 / max(load_s, 1e-9), 1)
+    _probe_buf = np.zeros(64 * 1024 * 1024, dtype=np.uint32)  # 256 MB
+    t_link = time.time()
+    jax.block_until_ready(jax.device_put(_probe_buf))
+    link_s = time.time() - t_link
+    del _probe_buf
+    RESULT["link_upload_MBps"] = round(256.0 / max(link_s, 1e-9), 1)
     print(
         f"db: {n_keys/1e6:.1f}M keys, taxonomy {tax_nodes/1e6:.2f}M nodes, "
         f"hash lb={c_dc.dbs[0].hash_lb} ({table_gb:.2f}GB table, "

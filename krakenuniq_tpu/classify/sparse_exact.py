@@ -136,10 +136,13 @@ def sparse_stats_core(
     )
     # broadcast the group-end decision to every lane of the group: in
     # reversed order each group starts at its (original) end, which carries
-    # the decision; a segmented max-scan spreads it (i32 packing: segment
-    # count bits + 2 value bits fit comfortably)
+    # the decision; a segmented max-scan spreads it. The i32 packing sits
+    # at the EXACT int32 boundary (max packed = ((2^29-1)<<2)|2 = 2^31-2)
+    # and is safe only under the n < 2^29 assert above -- derive the dtype
+    # from n so relaxing that cap falls back to i64 instead of wrapping.
+    stays_dtype = jnp.int32 if n < (1 << 29) else jnp.int64
     stays_rev = _seg_cummax(
-        jnp.flip(ge), jnp.flip(ge & stays_end), 2, dtype=jnp.int32
+        jnp.flip(ge), jnp.flip(ge & stays_end), 2, dtype=stays_dtype
     )
     stays_lane = jnp.flip(stays_rev) > 0
 

@@ -37,6 +37,23 @@ def build_parser():
     p.add_argument("--minimizer-len", type=int, default=15)
     p.add_argument("--threads", type=int, default=1, help="accepted for compatibility")
     p.add_argument("--build", action="store_true", help="(default task)")
+    p.add_argument(
+        "--standard",
+        action="store_true",
+        help="download taxonomy+contaminants+refseq bacteria/archaea/viral and build "
+        "(krakenuniq-build:357 standard_installation)",
+    )
+    p.add_argument(
+        "--download-taxonomy",
+        action="store_true",
+        help="download NCBI taxonomy into <db>/taxonomy",
+    )
+    p.add_argument(
+        "--download-library",
+        metavar="TYPE",
+        help="download a library (e.g. refseq/bacteria, viral-neighbors, contaminants) "
+        "into <db>/library",
+    )
     p.add_argument("--rebuild", action="store_true", help="remove products first")
     p.add_argument("--clean", action="store_true", help="remove intermediate files")
     p.add_argument("--add-to-library", metavar="FILE", help="copy FILE into library/added/")
@@ -57,10 +74,45 @@ def build_parser():
     return p
 
 
+def _log_step(db: str, msg: str) -> None:
+    """Append a timestamped line to <db>/database-build.log, the reference's
+    build log format (build_db.sh:43-47: `date "+%Y-%m-%d %H:%M:%S"\\tCMD`)."""
+    import datetime
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+    with open(os.path.join(db, "database-build.log"), "a") as f:
+        f.write(f"{stamp}\t{msg}\n")
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     db = args.db
     os.makedirs(db, exist_ok=True)
+
+    # task dispatch, mirroring krakenuniq-build:128-135's one-task-per-run
+    # elsif chain: download tasks run and exit; --standard chains downloads
+    # into a build (standard_installation, krakenuniq-build:357-364).
+    if args.download_taxonomy or args.download_library or args.standard:
+        from .download_main import main as download_main
+
+        if args.download_taxonomy:
+            _log_step(db, f"krakenuniq-tpu-download --db {db} taxonomy")
+            return download_main(["--db", db, "taxonomy"])
+        if args.download_library:
+            _log_step(db, f"krakenuniq-tpu-download --db {db} {args.download_library}")
+            return download_main(["--db", db, args.download_library])
+        # --standard
+        for patterns in (
+            ["taxonomy", "contaminants"],
+            ["refseq/archaea", "refseq/bacteria", "refseq/viral/Any", "viral-neighbors"],
+        ):
+            cmd = ["--db", db] + patterns
+            print(f"krakenuniq-tpu-download {' '.join(cmd)}", file=sys.stderr)
+            _log_step(db, f"krakenuniq-tpu-download {' '.join(cmd)}")
+            rc = download_main(cmd)
+            if rc != 0:
+                return rc
+        # fall through to the build
 
     if args.add_to_library:
         dest = os.path.join(db, "library", "added")
@@ -132,6 +184,7 @@ def main(argv=None) -> int:
             print(f"no taxDB and no taxonomy dumps at {tax_dir}", file=sys.stderr)
             return 1
         print("Building taxDB from taxonomy dumps...", file=sys.stderr)
+        _log_step(db, f"build_taxdb {names} {nodes} > taxDB")
         taxonomy = Taxonomy.from_ncbi_dumps(names, nodes)
         taxonomy.write_taxdb(taxdb_path)
 
@@ -142,6 +195,7 @@ def main(argv=None) -> int:
         if not maps:
             print("no .map files found in library dirs", file=sys.stderr)
             return 1
+        _log_step(db, f"cat {len(maps)} library .map files > seqid2taxid.map")
         with open(map_path, "w") as out:
             for m in maps:
                 with open(m) as f:
@@ -179,6 +233,11 @@ def main(argv=None) -> int:
             return 1
         print(f"Building database from {len(fastas)} library files "
               f"(k={args.kmer_len}, minimizer={args.minimizer_len})...", file=sys.stderr)
+        _log_step(
+            db,
+            f"build_database k={args.kmer_len} nt={args.minimizer_len} "
+            f"({len(fastas)} library files)",
+        )
         max_kmers = None
         if args.max_db_size:
             pair_size = (2 * args.kmer_len) // 8 + (1 if (2 * args.kmer_len) % 8 else 0) + 4
@@ -213,6 +272,39 @@ def main(argv=None) -> int:
     if not os.path.exists(counts_path):
         write_counts(counts_path, counts_from_vals(vals))
 
+    # step 6b: self-classify the library into a database summary report
+    # (build_db.sh:305-312: krakenuniq --preload --db . --report-file
+    # database.report.tsv library-files.fa > database.kraken.tsv). The
+    # library files feed the classifier directly -- no library-files.fa
+    # concatenation step is needed.
+    report_path = os.path.join(db, "database.report.tsv")
+    if fastas and not (
+        os.path.exists(report_path) and os.path.getsize(report_path) > 0
+    ):
+        from .main import main as classify_main
+
+        print(
+            f"Creating database summary report {os.path.basename(report_path)} ...",
+            file=sys.stderr,
+        )
+        _log_step(
+            db,
+            f"krakenuniq-tpu --preload --db {db} --report-file {report_path} "
+            f"[{len(fastas)} library files] > database.kraken.tsv",
+        )
+        rc = classify_main(
+            [
+                "--db", db,
+                "--preload",
+                "--report-file", report_path,
+                "--output", os.path.join(db, "database.kraken.tsv"),
+            ]
+            + list(fastas)
+        )
+        if rc != 0:
+            print("database summary report failed", file=sys.stderr)
+            return rc
+
     # optional UID database (build_db.sh:316-348)
     uid_kdb = os.path.join(db, "uid_database.kdb")
     if args.uid_database and not os.path.exists(uid_kdb):
@@ -222,8 +314,10 @@ def main(argv=None) -> int:
         hdr, keys, _ = read_kdb(kdb_path)
         _, nt_idx, offsets = read_index(idx_path)
         print("Building UID database...", file=sys.stderr)
+        _log_step(db, "build_uid_database (set_lcas -I equivalent)")
         build_uid_database(fastas, seqmap, keys, hdr.k, nt_idx, offsets, db)
 
+    _log_step(db, "database build complete")
     print("Database build complete.", file=sys.stderr)
     return 0
 

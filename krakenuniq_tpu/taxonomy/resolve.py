@@ -76,8 +76,10 @@ def _scores_pallas(tins, touts, hit_mask, interpret: bool = False):
     touts = jnp.where(hit_mask, touts, jnp.int32(-1))
     # the Mosaic stack holds ~O(unroll) [tb, w] temporaries: shrink the
     # batch tile as w grows so tb*w stays at the measured-safe budget.
-    # Mosaic block sublane dims must be multiples of 8
-    tb = min(max(8, (_SCORE_TB * 130 // w) & ~7), b)
+    # Mosaic block sublane dims must be multiples of 8 -- tb is computed
+    # 8-aligned and small batches are PADDED up to it below (never clamp
+    # tb to an unaligned b).
+    tb = max(8, (_SCORE_TB * 130 // w) & ~7)
     pad = (-b) % tb
     if pad:
         z = ((0, pad), (0, 0))

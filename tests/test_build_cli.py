@@ -95,6 +95,97 @@ def test_shrink_existing(tmp_path):
     assert np.all(np.diff(np.asarray(keys, dtype=np.int64)) != 0)
 
 
+def test_build_summary_report_and_log(tmp_path):
+    """build_db.sh step 6b (self-classify library -> database.report.tsv,
+    :305-312) and the timestamped database-build.log (:43-47)."""
+    import re
+
+    db = setup_db_dir(tmp_path)
+    rc = build_main(["--db", str(db), "--kmer-len", "21", "--minimizer-len", "7"])
+    assert rc == 0
+    report = (db / "database.report.tsv").read_text()
+    assert report.startswith("#")  # provenance header (krakenuniq:243-246)
+    body = [l for l in report.splitlines() if l and not l.startswith("#")]
+    assert any(l.split("\t")[7] == "species" for l in body[1:])
+    kraken = (db / "database.kraken.tsv").read_text().splitlines()
+    # self-classification of the library itself: every sequence classified
+    assert kraken and all(l.startswith("C") for l in kraken)
+    log = (db / "database-build.log").read_text().splitlines()
+    assert len(log) >= 3  # taxDB + seqmap + build + report steps
+    stamp = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\t\S")
+    assert all(stamp.match(l) for l in log)
+    # restart skips the report step (file exists)
+    n_lines = len(log)
+    assert build_main(["--db", str(db), "--kmer-len", "21", "--minimizer-len", "7"]) == 0
+    log2 = (db / "database-build.log").read_text().splitlines()
+    assert len(log2) == n_lines + 1  # only the final "complete" line
+
+
+def _standard_fetcher():
+    """Offline fixture network for the --standard task: taxonomy +
+    contaminants + three refseq domains + viral-neighbors."""
+    import gzip
+
+    from tests.test_download import ASSEMBLY_SUMMARY, make_fetcher, make_taxdump
+
+    genome = b">NC_1.1 Escherichia coli\n" + b"ACGTTGCAGTTCACGTAAGGCTA" * 8 + b"\n"
+    esearch = (
+        b"<eSearchResult><Count>1</Count><RetMax>0</RetMax>"
+        b"<QueryKey>1</QueryKey><WebEnv>WE1</WebEnv></eSearchResult>"
+    )
+    vn_fa = b">kraken:taxid|562|vn1\n" + b"TTGACCATGGCAATGCAGT" * 6 + b"\n"
+    return make_fetcher(
+        {
+            "taxdump.tar.gz": make_taxdump(),
+            "UniVec": b">uv1 adapter\n" + b"CTGCAGGAATTCGATATCAAG" * 5 + b"\n",
+            "emvec": gzip.compress(b">ev1\n" + b"GATCCTCTAGAGTCGACCTG" * 5 + b"\n"),
+            "assembly_summary.txt": ASSEMBLY_SUMMARY.encode(),
+            "GCF_001_ASM1_genomic.fna.gz": gzip.compress(genome),
+            "GCF_002_ASM2_genomic.fna.gz": gzip.compress(b">h9606\nAAAA\n"),
+            "esearch.fcgi": esearch,
+            "efetch.fcgi": vn_fa,
+        }
+    )
+
+
+def test_standard_dispatch(tmp_path, monkeypatch):
+    """--standard (krakenuniq-build:357-364): download taxonomy+contaminants,
+    refseq domains + viral-neighbors, then build -- one command."""
+    import krakenuniq_tpu.build.download as dlmod
+
+    monkeypatch.setattr(dlmod, "_default_fetch", _standard_fetcher())
+    db = tmp_path / "STD"
+    rc = build_main(
+        ["--db", str(db), "--standard", "--kmer-len", "21", "--minimizer-len", "7"]
+    )
+    assert rc == 0
+    assert (db / "taxonomy" / "nodes.dmp").exists()
+    assert (db / "library" / "contaminants" / "UniVec.fna").exists()
+    for domain in ("archaea", "bacteria", "viral"):
+        assert (db / "library" / domain).is_dir()
+    assert (db / "library" / "viral-neighbors").is_dir()
+    assert (db / "database.kdb").exists()
+    assert (db / "database.idx").exists()
+    assert (db / "taxDB").exists()
+    assert (db / "database.report.tsv").exists()
+    log = (db / "database-build.log").read_text()
+    assert "krakenuniq-tpu-download" in log
+
+
+def test_download_task_dispatch(tmp_path, monkeypatch):
+    """--download-taxonomy / --download-library TYPE run the download and
+    exit (krakenuniq-build:128-135 task list)."""
+    import krakenuniq_tpu.build.download as dlmod
+
+    monkeypatch.setattr(dlmod, "_default_fetch", _standard_fetcher())
+    db = tmp_path / "DL"
+    assert build_main(["--db", str(db), "--download-taxonomy"]) == 0
+    assert (db / "taxonomy" / "names.dmp").exists()
+    assert not (db / "database.kdb").exists()  # download task does NOT build
+    assert build_main(["--db", str(db), "--download-library", "contaminants"]) == 0
+    assert (db / "library" / "contaminants" / "UniVec.map").exists()
+
+
 def test_contaminant_taxid_build():
     """set_lcas -T semantics: contaminant-taxid sequences claim their k-mers
     directly (golden built with the reference binary)."""
