@@ -93,9 +93,16 @@ def grade(
             total_reads += 1
             if ident == 0:
                 unidentified += 1
-            # sequence id after the 5th underscore
-            parts = read_id.split("_", 5)
-            seq_id = parts[5] if len(parts) > 5 else parts[-1]
+            # The reference's comment says "after the 5th underscore" but its
+            # do/while (grade_classification.cpp:101-108) executes SIX finds
+            # -- the loop body runs once more after count reaches 5, and
+            # `pos != npos` can never be false because npos+1 wraps to 0.
+            # Emulate exactly, including the wrap-to-front on short names.
+            pos = 0
+            for _ in range(6):
+                f = read_id.find("_", pos)
+                pos = 0 if f == -1 else f + 1
+            seq_id = read_id[pos:]
             if seq_id not in seqid_map:
                 print(f"ERROR: Couldn't find taxid for {seq_id}", file=sys.stderr)
                 continue

@@ -16,7 +16,8 @@ pytestmark = pytest.mark.skipif(
 
 def test_grade_on_golden(tmp_path):
     """Our reads encode 'readN_taxT'; rewrite names to the randomreads
-    convention (5 underscores then seqid) and grade."""
+    convention (six underscores then seqid, grade_classification.cpp:101-108)
+    and grade."""
     kraken_in = open(os.path.join(DATA, "kraken.out")).read().splitlines()
     rewritten = tmp_path / "kraken.renamed"
     with open(rewritten, "w") as out:
@@ -24,9 +25,9 @@ def test_grade_on_golden(tmp_path):
             f = line.split("\t")
             if f[1].startswith("read"):
                 taxid = f[1].split("_tax")[1]
-                f[1] = f"a_b_c_d_e_seq_{taxid}"
+                f[1] = f"a_b_c_d_e_f_seq_{taxid}"
             else:
-                f[1] = "a_b_c_d_e_seq_311"  # junk reads: pretend viral source
+                f[1] = "a_b_c_d_e_f_seq_311"  # junk reads: pretend viral source
             out.write("\t".join(f) + "\n")
 
     from krakenuniq_tpu.report.grade import grade
