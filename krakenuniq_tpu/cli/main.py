@@ -107,6 +107,15 @@ def build_parser() -> argparse.ArgumentParser:
         "mode before failing",
     )
     p.add_argument(
+        "--multihost-recover",
+        choices=("auto", "off"),
+        default="auto",
+        help="auto (default): when host 0's rendezvous times out, re-run "
+        "each lost host's span share in-process (artifacts are idempotent; "
+        "span ownership is deterministic), then complete the merge. off: "
+        "fail with the list of lost hosts and the recovery command",
+    )
+    p.add_argument(
         "--multihost-merge",
         action="append",
         default=[],
@@ -310,22 +319,70 @@ def main(argv: list[str] | None = None) -> int:
                     classifier.finalized_counts(),
                 )
             if auto_collect:
-                from ..parallel.multihost import rendezvous_and_merge
+                from ..parallel.multihost import (
+                    MultihostTimeout,
+                    rendezvous_and_merge,
+                    write_done_marker,
+                )
 
                 for fh in close_fhs:
                     fh.close()
                 close_fhs = []
-                done = rendezvous_and_merge(
-                    host_id,
-                    n_hosts,
-                    output=args.output,
-                    report_file=(
-                        args.report_file
-                        if args.report_file and args.report_file != "off"
-                        else None
-                    ),
-                    timeout=args.multihost_wait,
+                report_arg = (
+                    args.report_file
+                    if args.report_file and args.report_file != "off"
+                    else None
                 )
+                try:
+                    done = rendezvous_and_merge(
+                        host_id,
+                        n_hosts,
+                        output=args.output,
+                        report_file=report_arg,
+                        timeout=args.multihost_wait,
+                    )
+                except MultihostTimeout as e:
+                    print(str(e), file=sys.stderr)
+                    if args.multihost_recover != "auto":
+                        return 75  # EX_TEMPFAIL: lost hosts listed above
+                    # re-run each lost host's share in-process: span
+                    # ownership is s % n_hosts == ID, so a fresh Classifier
+                    # with that host_id reproduces the lost artifacts
+                    # bit-for-bit (the idempotent-artifact pattern,
+                    # build_db.sh:116)
+                    import dataclasses as _dc
+
+                    for lost in e.missing_hosts:
+                        print(
+                            f"Recovering lost host {lost}'s span share "
+                            f"in-process ...",
+                            file=sys.stderr,
+                        )
+                        r_opts = _dc.replace(opts, host_id=lost)
+                        rcl = Classifier(
+                            db_dirs, options=r_opts, uid_database=args.uid_mapping
+                        )
+                        part = f"{args.output}.part{lost}"
+                        pfh = open_output(part)
+                        try:
+                            rcl.run(inputs, kraken_fh=pfh)
+                        finally:
+                            pfh.close()
+                        with open(part + ".manifest", "w") as mf:
+                            _json.dump(rcl.span_manifest, mf)
+                        if report_arg:
+                            save_counter_state(
+                                f"{report_arg}.state.{lost}",
+                                rcl.finalized_counts(),
+                            )
+                        write_done_marker(args.output, lost)
+                    done = rendezvous_and_merge(
+                        host_id,
+                        n_hosts,
+                        output=args.output,
+                        report_file=report_arg,
+                        timeout=args.multihost_wait,
+                    )
                 if host_id != 0:
                     # peers are finished once their marker is down; host 0
                     # owns the merged kraken output and the report

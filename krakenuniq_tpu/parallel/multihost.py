@@ -70,6 +70,39 @@ def owns_span(span_idx: int, host_id: int, n_hosts: int) -> bool:
     return span_idx % n_hosts == host_id
 
 
+class MultihostTimeout(RuntimeError):
+    """Raised by rendezvous_and_merge when peers never arrive.
+
+    Carries the lost host ids so callers can recover: every artifact in the
+    flow is idempotent (the reference's restartable-build pattern,
+    build_db.sh:116), so the lost work is exactly the missing hosts' span
+    shares -- re-run the SAME command with --multihost LOST/N on any
+    surviving machine (or let the CLI's --multihost-recover auto mode do it
+    in-process), then host 0's rendezvous completes."""
+
+    def __init__(self, missing_hosts: list, n_hosts: int, output: str, timeout: float):
+        self.missing_hosts = list(missing_hosts)
+        self.n_hosts = n_hosts
+        self.output = output
+        shares = ", ".join(
+            f"host {i} (global spans s with s % {n_hosts} == {i})"
+            for i in self.missing_hosts
+        )
+        super().__init__(
+            f"multi-host rendezvous timed out after {timeout}s; lost {shares}. "
+            f"Markers checked: {output}.done<ID>. Recover by re-running the "
+            f"same command with --multihost ID/{n_hosts} for each lost host "
+            f"on any machine (artifacts are idempotent), then re-run host 0."
+        )
+
+
+def write_done_marker(output: str, host_id: int) -> None:
+    """Drop the completion marker a rendezvous polls for -- used by the
+    normal flow and by recovery code that re-ran a lost host's share."""
+    with open(f"{output}.done{host_id}", "w") as fh:
+        fh.write(str(os.getpid()))
+
+
 # ---------------------------------------------------------------- state files
 
 
@@ -191,9 +224,7 @@ def rendezvous_and_merge(
     import json
     import time
 
-    marker = f"{output}.done{host_id}"
-    with open(marker, "w") as fh:
-        fh.write(str(os.getpid()))
+    write_done_marker(output, host_id)
     if host_id != 0:
         return None
 
@@ -205,10 +236,7 @@ def rendezvous_and_merge(
         if not missing:
             break
         if time.monotonic() > deadline:
-            raise RuntimeError(
-                f"multi-host rendezvous timed out after {timeout}s; still "
-                f"missing host(s) {missing} (markers {output}.done<ID>)"
-            )
+            raise MultihostTimeout(missing, n_hosts, output, timeout)
         time.sleep(poll_s)
 
     parts = []

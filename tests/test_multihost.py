@@ -261,6 +261,58 @@ def test_multihost_cli_manual_collect(tmp_path):
     assert body(r0) == body(s_rep)
 
 
+def test_multihost_host_loss_recovery(tmp_path):
+    """Elasticity: host 1 is KILLED mid-run; host 0's rendezvous times out
+    with the lost host identified, then --multihost-recover auto re-runs the
+    lost span share in-process and the merged output is byte-identical to
+    the single-host run (the idempotent-artifact pattern, build_db.sh:116)."""
+    import signal
+    import time
+
+    reads = os.path.join(DATA, "reads.fa")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    s_out, s_rep = str(tmp_path / "s.out"), str(tmp_path / "s.tsv")
+    _run_cli([], s_out, s_rep, reads, env)
+
+    out, rep = str(tmp_path / "m.out"), str(tmp_path / "m.tsv")
+    # start host 1, then kill it before it can finish (mid-startup/run)
+    p1 = subprocess.Popen(
+        [sys.executable, "-m", "krakenuniq_tpu.cli.main", "--db", DATA,
+         reads, "--output", out, "--report-file", rep, "--multihost", "1/2"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    time.sleep(1.0)
+    p1.send_signal(signal.SIGKILL)
+    p1.wait()
+    assert not os.path.exists(out + ".done1")
+
+    # recover=off: host 0 fails fast (EX_TEMPFAIL) naming the lost host
+    r = subprocess.run(
+        [sys.executable, "-m", "krakenuniq_tpu.cli.main", "--db", DATA,
+         reads, "--output", out, "--report-file", rep, "--multihost", "0/2",
+         "--multihost-wait", "2", "--multihost-recover", "off"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 75
+    assert "lost host 1" in r.stderr and "s % 2 == 1" in r.stderr
+    assert "--multihost" in r.stderr  # recovery instructions
+
+    # recover=auto (default): host 0 re-runs host 1's spans itself
+    r = subprocess.run(
+        [sys.executable, "-m", "krakenuniq_tpu.cli.main", "--db", DATA,
+         reads, "--output", out, "--report-file", rep, "--multihost", "0/2",
+         "--multihost-wait", "2"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Recovering lost host 1" in r.stderr
+    assert open(out, "rb").read() == open(s_out, "rb").read()
+    body = lambda p: [l for l in open(p) if not l.startswith("#")]
+    assert body(rep) == body(s_rep)
+
+
 def _dist_worker(pid, tmpdir):
     import traceback
 
