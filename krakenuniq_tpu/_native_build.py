@@ -20,7 +20,7 @@ _module = None
 
 # bumped together with the C constant in native/kuniq_native.cpp whenever the
 # extension's ABI changes; a stale in-place .so is rebuilt on import
-API_VERSION = 5
+API_VERSION = 6
 
 
 def _find_so(pkg_dir: str) -> str | None:

@@ -30,9 +30,10 @@ Dynamic taxids (`-a`/`-A`: per-sequence / per-assembly pseudo-taxids above
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass
-from typing import Iterable, Iterator
+from typing import Iterable
 
 import numpy as np
 
@@ -108,84 +109,443 @@ class BuildResult:
     offsets: np.ndarray  # uint64, len 4**nt + 1
 
 
-def _iter_tagged_sequences(
+# --------------------------------------------------------------------------
+# Streaming pair-spill engine (round 5): build in BOUNDED MEMORY.
+#
+# The round-4 builder collected every library k-mer into RAM
+# (np.unique(np.concatenate(...))) and folded LCAs through a per-sequence
+# Python loop with a dict LCA cache -- byte-exact at fixture scale, but
+# unable to build the 300 GB-class libraries the reference streams through
+# Jellyfish (build_db.sh:120-148) and OpenMP set_lcas (set_lcas.cpp:364-368).
+#
+# The streaming engine makes the whole build ONE reduction over a
+# (k-mer, value) pair stream:
+#
+#   emit   -- stream the library once per pass (base + each --lca-order
+#             group); per sequence block (k-1 overlap, the reference's
+#             SKIP_LEN pattern) emit its distinct canonical k-mers paired
+#             with a packed value word; spill pairs to 2^B on-disk buckets
+#             partitioned by scrambled-minimizer-bin range, so buckets
+#             concatenate in kdb order.
+#   reduce -- per bucket: sort by (bin, k-mer, val); per k-mer segment the
+#             packed-value order makes the fold semantics of
+#             set_lcas.cpp:429-476 a pair of segment reductions:
+#               * the max value's group byte selects the LAST --lca-order
+#                 group containing the k-mer (reset+refold, build_db.sh:279-301),
+#               * within that group, any contaminant pair wins and the
+#                 EARLIEST one supplies the taxid (-T override, first-wins),
+#               * otherwise LCA over the group's taxids = pairwise LCA of
+#                 the two Euler-tin extremes (Taxonomy.lca_pairs, the
+#                 vectorized form of the old dict LCA cache).
+#
+# Value word layout (u64):
+#   bits 56..63  pass group (0 = base; --lca-order groups are 1..255)
+#   bit  55      contaminant claim
+#   contaminant: bits 2..54 global sequence index (earliest-claim tie-break),
+#                bits 0..1 contaminant code (1 = 32630, 2 = 81077)
+#   otherwise:   bits 0..31 taxid (0 = set-only pair: the sequence failed a
+#                set_lcas skip rule but its k-mers still belong to the key
+#                set, build_db.sh step 1 cats the whole library)
+# --------------------------------------------------------------------------
+
+_GROUP_SHIFT = np.uint64(56)
+_CONTAM_BIT = np.uint64(1) << np.uint64(55)
+_SEQ_SHIFT = np.uint64(2)
+# spill record: (k-mer, value word, scrambled-minimizer bin). The bin is a
+# pure function of the k-mer but costs (k-nt+1) window passes to recompute
+# (utils/bits.py bin_key) -- carrying the 8 bytes beats recomputing at
+# reduce time by ~100x.
+_PAIR_DTYPE = np.dtype([("k", "<u8"), ("v", "<u8"), ("b", "<u8")])
+_SEQ_BLOCK = 1 << 22  # 4 Mbp sub-blocks bound per-sequence memory
+
+
+def _extract_kmers_bins(seq: str, k: int, nt: int):
+    """(canonical k-mers, bins) of one sequence block: the native rolling
+    scanner (kuniq_native.extract_kmer_bins, ~20 ns/base) when available,
+    else the numpy shift-cascade + window-min fallback."""
+    from .._native_build import ensure_native
+    from ..utils.bits import INDEX2_XOR_MASK
+
+    nat = ensure_native()
+    if nat is not None and hasattr(nat, "extract_kmer_bins"):
+        raw = seq.encode("ascii", "replace")
+        ks, bs, cnt = nat.extract_kmer_bins(raw, k, nt, int(INDEX2_XOR_MASK))
+        return ks[:cnt], bs[:cnt]
+    ks = extract_canonical_kmers(seq, k)
+    return ks, bin_key(ks, k, nt)
+
+
+def _pack_val(group: int, taxid: int, is_contam: bool, seq_idx: int) -> np.uint64:
+    g = np.uint64(group) << _GROUP_SHIFT
+    if is_contam:
+        code = 1 if taxid == TID_CONTAMINANT1 else 2
+        return g | _CONTAM_BIT | (np.uint64(seq_idx) << _SEQ_SHIFT) | np.uint64(code)
+    return g | np.uint64(taxid)
+
+
+class _PairSpiller:
+    """Partition (k-mer, val, bin) records into on-disk buckets by
+    minimizer-bin range; buckets concatenate in the kdb's (bin, key) order.
+
+    `boundaries` (sorted bin values, len n_buckets-1) define the ranges.
+    Minimizer bins are MIN-biased -- a bin is the minimum over k-nt+1
+    scrambled m-mer windows, so the low end of bin space carries most of
+    the mass and equal-width ranges would put nearly everything in bucket 0
+    (measured: 42M of 100M keys). The caller samples the library's own bin
+    distribution for quantile boundaries -- the same adaptive-range idea as
+    the reference's upper_bound chunk planner (krakendb.cpp:430-461)."""
+
+    def __init__(
+        self, k: int, nt: int, n_buckets: int, tmp_dir: str,
+        boundaries: np.ndarray | None = None,
+    ):
+        self.k, self.nt = k, nt
+        if boundaries is None:
+            boundaries = np.empty(0, dtype=np.uint64)
+            n_buckets = 1
+        self.boundaries = np.asarray(boundaries, dtype=np.uint64)
+        n_buckets = len(self.boundaries) + 1
+        self.n_buckets = n_buckets
+        self.tmp_dir = tmp_dir
+        self.paths = [os.path.join(tmp_dir, f"pairs.{i:04d}.bin") for i in range(n_buckets)]
+        self._fhs: list = [None] * n_buckets
+        self._buf: list[np.ndarray] = []
+        self._buffered = 0
+        self.flush_pairs = 4 << 20
+        self.total_pairs = 0
+
+    def add(self, kmers: np.ndarray, bins: np.ndarray, val: np.uint64) -> None:
+        if not len(kmers):
+            return
+        rec = np.empty(len(kmers), dtype=_PAIR_DTYPE)
+        rec["k"], rec["b"] = kmers, bins
+        rec["v"] = val
+        self._buf.append(rec)
+        self._buffered += len(kmers)
+        if self._buffered >= self.flush_pairs:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._buffered:
+            return
+        rec = np.concatenate(self._buf)
+        self._buf, self._buffered = [], 0
+        self.total_pairs += len(rec)
+        if self.n_buckets == 1:
+            self._write(0, rec)
+            return
+        bucket = np.searchsorted(self.boundaries, rec["b"], side="right")
+        order = np.argsort(bucket, kind="stable")
+        bucket = bucket[order]
+        rec = rec[order]
+        bounds = np.searchsorted(bucket, np.arange(self.n_buckets + 1))
+        for i in range(self.n_buckets):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                self._write(i, rec[lo:hi])
+
+    def _write(self, i: int, rec: np.ndarray) -> None:
+        if self._fhs[i] is None:
+            self._fhs[i] = open(self.paths[i], "wb")
+        self._fhs[i].write(rec.tobytes())
+
+    def close(self) -> None:
+        self.flush()
+        for fh in self._fhs:
+            if fh is not None:
+                fh.close()
+        self._fhs = [None] * self.n_buckets
+
+    def load_bucket(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if not os.path.exists(self.paths[i]):
+            e = np.empty(0, dtype=np.uint64)
+            return e, e, e
+        rec = np.fromfile(self.paths[i], dtype=_PAIR_DTYPE)
+        return rec["k"].copy(), rec["v"].copy(), rec["b"].copy()
+
+    def cleanup(self) -> None:
+        for p in self.paths:
+            if os.path.exists(p):
+                os.remove(p)
+
+
+def _iter_seq_blocks(seq: str, k: int):
+    """Sub-blocks with k-1 overlap (the reference's SKIP_LEN chunking,
+    set_lcas.cpp:31,364-368) so one chromosome never owns gigabytes of
+    pair buffer."""
+    if len(seq) <= _SEQ_BLOCK:
+        yield seq
+        return
+    step = _SEQ_BLOCK - (k - 1)
+    for start in range(0, len(seq) - (k - 1), step):
+        yield seq[start : start + _SEQ_BLOCK]
+
+
+def _emit_pass(
+    spiller: _PairSpiller,
     fastas: Iterable[str],
     seqmap: dict[str, int],
-    known_taxids: set[int] | None,
+    known: set[int] | None,
     min_sequence_size: int,
-    verbose: bool = False,
-) -> Iterator[tuple[int, bool, str]]:
-    """Yield (taxid, is_contaminant, seq) applying set_lcas's skip rules."""
+    group: int,
+    seq_idx0: int,
+    k: int,
+    set_only_unmapped: bool,
+    verbose: bool,
+) -> int:
+    """Stream one library pass into the spiller; returns the next global
+    sequence index. Base pass (group 0, set_only_unmapped=True) emits
+    taxid-0 pairs for sequences that fail set_lcas skip rules -- their
+    k-mers belong to the key set (build_db.sh step 1); --lca-order group
+    passes skip those sequences entirely (set_lcas -TR / -T passes only see
+    mapped sequences)."""
+    seq_idx = seq_idx0
     for path in fastas:
         for dna in read_sequences(path):
             if not dna.seq:
                 continue
             taxid = resolve_seq_taxid(dna.id, seqmap)
-            if taxid == 0:
-                if verbose:
+            skip = (
+                taxid == 0
+                or (min_sequence_size > 0 and len(dna.seq) < min_sequence_size)
+                or (known is not None and taxid not in known)
+            )
+            if skip:
+                if verbose and taxid == 0:
                     print(f"no taxid mapping for sequence {dna.id}", file=sys.stderr)
-                continue
-            if min_sequence_size > 0 and len(dna.seq) < min_sequence_size:
-                continue
-            if known_taxids is not None and taxid not in known_taxids:
-                if verbose:
-                    print(
-                        f"skipping sequence {dna.id}: taxid {taxid} not in taxDB",
-                        file=sys.stderr,
-                    )
-                continue
+                if not set_only_unmapped:
+                    continue
+                taxid = 0
             is_contam = taxid in (TID_CONTAMINANT1, TID_CONTAMINANT2)
-            yield taxid, is_contam, dna.seq
+            val = _pack_val(group, taxid, is_contam, seq_idx)
+            for block in _iter_seq_blocks(dna.seq, k):
+                kms, bins = _extract_kmers_bins(block, k, spiller.nt)
+                if len(kms):
+                    # distinct within block: the fold is idempotent per
+                    # (k-mer, value), so block-level dedup only cuts volume.
+                    # Any occurrence's bin serves (bin is a k-mer function).
+                    u, ui = np.unique(kms, return_index=True)
+                    spiller.add(u, bins[ui], val)
+            seq_idx += 1
+    return seq_idx
 
 
-class _LcaFolder:
-    """The per-k-mer value state machine of set_lcas.cpp:429-476 with the
-    `-T` contaminant override, vectorized per sequence."""
+def _reduce_bucket(
+    kmers: np.ndarray,
+    vals: np.ndarray,
+    bins: np.ndarray,
+    taxonomy,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One bucket: sorted unique keys in (bin, key) order, folded LCA
+    values, and the per-key bin array (for the global index histogram)."""
+    if not len(kmers):
+        e = np.empty(0, dtype=np.uint64)
+        return e, np.empty(0, dtype=np.uint32), e
+    order = np.lexsort((vals, kmers, bins))
+    kmers, vals, bins = kmers[order], vals[order], bins[order]
+    first = np.concatenate([[True], kmers[1:] != kmers[:-1]])
+    starts = np.flatnonzero(first)
+    keys = kmers[starts]
+    key_bins = bins[starts]
+    vals_out = _fold_segments(vals, starts, taxonomy)
+    return keys, vals_out, key_bins
 
-    def __init__(self, skeys: np.ndarray, slot_of_sorted: np.ndarray, taxonomy):
-        self.skeys = skeys
-        self.slot = slot_of_sorted
-        self.vals = np.zeros(len(skeys), dtype=np.uint32)  # slot-indexed
-        self.tax = taxonomy
-        self._lca_cache: dict[tuple[int, int], int] = {}
 
-    def _hit_slots(self, kmers: np.ndarray) -> np.ndarray:
-        uniq = np.unique(kmers)
-        pos = np.searchsorted(self.skeys, uniq)
-        pos = pos[pos < len(self.skeys)]
-        hit = self.skeys[pos] == uniq[: len(pos)]
-        return self.slot[pos[hit]]
+def _fold_segments(vals: np.ndarray, starts: np.ndarray, taxonomy) -> np.ndarray:
+    """The set_lcas value fold per k-mer segment (vals ascending within each
+    segment; see the value-word layout above)."""
+    n = len(vals)
+    ends = np.concatenate([starts[1:], [n]])
+    last = vals[ends - 1]
+    gmax = last >> _GROUP_SHIFT
+    has_contam = (last & _CONTAM_BIT) != 0
 
-    def _lca(self, a: int, b: int) -> int:
-        if a == 0:
-            return b
-        if b == 0:
-            return a
-        if a == b:
-            return a
-        key = (a, b) if a < b else (b, a)
-        r = self._lca_cache.get(key)
-        if r is None:
-            r = self.tax.lca_fold([a, b])
-            self._lca_cache[key] = r
-        return r
+    out = np.zeros(len(starts), dtype=np.uint32)
 
-    def reset(self, kmers: np.ndarray) -> None:
-        """set_lcas -R (build_db.sh:291): zero this sequence's k-mer values."""
-        self.vals[self._hit_slots(kmers)] = 0
+    if has_contam.any():
+        # earliest contaminant claim in the winning group: pairs of that
+        # group sort (non-contam..., contam by seq_idx); the first contam
+        # pair is the minimum val >= (gmax<<56 | contam bit)
+        seg_of = np.repeat(np.arange(len(starts)), ends - starts)
+        thresh = (gmax << _GROUP_SHIFT) | _CONTAM_BIT
+        is_win_contam = vals >= thresh[seg_of]
+        masked = np.where(is_win_contam, vals, np.uint64(0xFFFFFFFFFFFFFFFF))
+        first_contam = np.minimum.reduceat(masked, starts)
+        code = first_contam & np.uint64(3)
+        contam_tid = np.where(code == 1, TID_CONTAMINANT1, TID_CONTAMINANT2).astype(
+            np.uint32
+        )
+        out[has_contam] = contam_tid[has_contam]
 
-    def fold(self, kmers: np.ndarray, taxid: int, is_contam: bool) -> None:
-        idx = self._hit_slots(kmers)
-        cur = self.vals[idx]
-        locked = (cur == TID_CONTAMINANT1) | (cur == TID_CONTAMINANT2)
-        if is_contam:
-            self.vals[idx] = np.where(locked, cur, np.uint32(taxid))
-            return
-        new = cur.copy()
-        todo = ~locked
-        for c in np.unique(cur[todo]).tolist():
-            new[todo & (cur == c)] = self._lca(int(c), taxid)
-        self.vals[idx] = new
+    fold_seg = ~has_contam
+    if fold_seg.any():
+        seg_of = np.repeat(np.arange(len(starts)), ends - starts)
+        in_gmax = (vals >> _GROUP_SHIFT) == gmax[seg_of]
+        taxid = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        use = in_gmax & (taxid != 0) & fold_seg[seg_of]
+        if use.any():
+            dense = taxonomy.dense_index(taxid)
+            tin = taxonomy.tin[dense].astype(np.uint64)
+            # pack (tin, taxid) so segment min/max recover the Euler-extreme
+            # MEMBERS, not just their tins; LCA(set) = LCA(min-tin member,
+            # max-tin member)
+            packed = (tin << np.uint64(32)) | taxid
+            lo = np.minimum.reduceat(
+                np.where(use, packed, np.uint64(0xFFFFFFFFFFFFFFFF)), starts
+            )
+            hi = np.maximum.reduceat(np.where(use, packed, np.uint64(0)), starts)
+            have = hi != 0
+            sel = fold_seg & have
+            if sel.any():
+                ta = (lo[sel] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                tb = (hi[sel] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                out[sel] = taxonomy.lca_pairs(ta, tb)
+    return out
+
+
+def _sample_boundaries(
+    fastas: list[str], k: int, nt: int, n_buckets: int,
+    sample_kmers: int = 2 << 20,
+) -> np.ndarray | None:
+    """Quantile bucket boundaries from the library's own bin distribution
+    (first ~sample_kmers k-mers; deterministic). Returns None for a single
+    bucket."""
+    if n_buckets <= 1:
+        return None
+    acc: list[np.ndarray] = []
+    got = 0
+    for path in fastas:
+        for dna in read_sequences(path):
+            if not dna.seq:
+                continue
+            for block in _iter_seq_blocks(dna.seq, k):
+                _, bs = _extract_kmers_bins(block, k, nt)
+                if len(bs):
+                    acc.append(bs)
+                    got += len(bs)
+                if got >= sample_kmers:
+                    break
+            if got >= sample_kmers:
+                break
+        if got >= sample_kmers:
+            break
+    if not got:
+        return None
+    allb = np.sort(np.concatenate(acc))
+    q = (np.arange(1, n_buckets) * len(allb)) // n_buckets
+    # dedup: a bin heavy enough to span a quantile stays in one bucket
+    return np.unique(allb[q])
+
+
+def _plan_buckets(fastas: list[str], memory_budget: int) -> int:
+    """Bucket count so a bucket's record load (24 B/bp, x4 sort working set)
+    fits the budget; library bytes approximate pair volume (compressed
+    files count x3)."""
+    total = 0
+    for p in fastas:
+        try:
+            sz = os.path.getsize(p)
+        except OSError:
+            sz = 0
+        if p.endswith((".gz", ".bz2", ".xz", ".zst")):
+            sz *= 3
+        total += sz
+    pair_bytes = total * 24 * 4
+    n = 1
+    while n < 4096 and pair_bytes / n > memory_budget:
+        n *= 2
+    return n
+
+
+def build_database_stream(
+    fastas: list[str],
+    seqmap: dict[str, int],
+    taxonomy,
+    k: int,
+    nt: int,
+    min_sequence_size: int = 0,
+    max_kmers: int | None = None,
+    lca_order: list[list[str]] | None = None,
+    memory_budget: int = 1 << 30,
+    tmp_dir: str | None = None,
+    verbose: bool = False,
+):
+    """Bounded-memory build: yields (keys, vals, bins) bucket results in kdb
+    order after ONE streaming pass over the library per build phase.
+
+    The caller consumes buckets one at a time (concatenate for an in-RAM
+    BuildResult, or append straight to a .kdb file); peak memory is one
+    bucket's pairs plus sort working set (~4x), governed by memory_budget,
+    plus the 8*4^nt-byte index histogram every variant of this pipeline
+    holds (the reference's make_index does too, krakendb.cpp:118-148).
+
+    When max_kmers is set, block down-sampling (db_shrink.cpp:80-113)
+    selects over the (bin, key)-sorted order -- the kdb order -- rather
+    than the round-4 key order (the reference samples Jellyfish hash order;
+    all three are 1-per-block samples of the same set)."""
+    import shutil
+    import tempfile
+
+    own_tmp = tmp_dir is None
+    if tmp_dir is None:
+        tmp_dir = tempfile.mkdtemp(prefix="kuniq_build_")
+    else:
+        os.makedirs(tmp_dir, exist_ok=True)
+    nb = _plan_buckets(fastas, memory_budget)
+    spiller = _PairSpiller(
+        k, nt, nb, tmp_dir, _sample_boundaries(fastas, k, nt, nb)
+    )
+    known = set(int(t) for t in taxonomy.taxids)
+    try:
+        seq_idx = _emit_pass(
+            spiller, fastas, seqmap, known, min_sequence_size,
+            group=0, seq_idx0=0, k=k, set_only_unmapped=True, verbose=verbose,
+        )
+        for gi, group in enumerate(lca_order or [], start=1):
+            if gi > 255:
+                raise ValueError("at most 255 --lca-order groups")
+            seq_idx = _emit_pass(
+                spiller, group, seqmap, known, min_sequence_size,
+                group=gi, seq_idx0=seq_idx, k=k,
+                set_only_unmapped=False, verbose=verbose,
+            )
+        if seq_idx >= 1 << 53:
+            raise ValueError("sequence index exceeds value-word packing")
+        spiller.close()
+
+        # db_shrink block sampling needs global positions: count uniques
+        # per bucket first, then select per bucket by global index range
+        sel_starts = None
+        if max_kmers is not None:
+            uniq_counts = []
+            for i in range(spiller.n_buckets):
+                ks, _, _ = spiller.load_bucket(i)
+                uniq_counts.append(len(np.unique(ks)) if len(ks) else 0)
+            key_ct = sum(uniq_counts)
+            if key_ct > max_kmers:
+                block = key_ct // max_kmers
+                sizes = np.full(max_kmers, block, dtype=np.int64)
+                sizes[: key_ct % max_kmers] += 1
+                sel = np.cumsum(sizes) - 1  # offset 1 from block end
+                bucket_off = np.concatenate([[0], np.cumsum(uniq_counts)])
+                sel_starts = (sel, bucket_off)
+
+        for i in range(spiller.n_buckets):
+            ks, vs, bs = spiller.load_bucket(i)
+            keys, vals_out, key_bins = _reduce_bucket(ks, vs, bs, taxonomy)
+            del ks, vs, bs
+            if sel_starts is not None and len(keys):
+                sel, bucket_off = sel_starts
+                lo, hi = bucket_off[i], bucket_off[i + 1]
+                local = sel[np.searchsorted(sel, lo) : np.searchsorted(sel, hi)] - lo
+                keys, vals_out, key_bins = keys[local], vals_out[local], key_bins[local]
+            yield keys, vals_out, key_bins
+    finally:
+        spiller.close()
+        if own_tmp:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            spiller.cleanup()
 
 
 def build_database(
@@ -198,63 +558,112 @@ def build_database(
     min_sequence_size: int = 0,
     max_kmers: int | None = None,
     lca_order: list[list[str]] | None = None,
+    memory_budget: int = 1 << 30,
+    tmp_dir: str | None = None,
     verbose: bool = False,
 ) -> BuildResult:
-    """One-pass library -> (keys, vals, offsets) database build.
+    """Library -> (keys, vals, offsets) database build (in-RAM result).
 
-    `lca_order`: optional priority groups of library files; after the base
-    pass each group's k-mers are reset then re-folded group-locally
-    (build_db.sh:279-301), so later groups claim their own k-mers.
-    """
-    # --- step 1: the canonical k-mer set (Jellyfish count -C equivalent).
-    # Collected from EVERY library sequence, regardless of taxid mapping or
-    # minimum size -- those filters only apply to the LCA pass (build_db.sh
-    # step 1 cats the whole library; set_lcas skips happen later).
-    chunks: list[np.ndarray] = []
-    for path in fastas:
-        for dna in read_sequences(path):
-            if dna.seq:
-                chunks.append(extract_canonical_kmers(dna.seq, k))
-    keys = (
-        np.unique(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.uint64)
-    )
-
-    # --- step 2: optional down-sampling (db_shrink semantics).
-    if max_kmers is not None and len(keys) > max_kmers:
-        keys, _ = shrink_pairs(keys, None, max_kmers, 1)
-
-    # --- step 3: minimizer binning + (bin, k-mer) sort (db_sort.cpp:80-116).
-    b = bin_key(keys, k, nt)
-    order = np.lexsort((keys, b))
-    keys = keys[order]
-    counts = np.bincount(b[order].astype(np.int64), minlength=4**nt)
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint64)
-
-    # --- step 6: LCA fold (set_lcas with -T, build_db.sh:270-272).
-    sort_perm = np.argsort(keys, kind="stable")
-    skeys = keys[sort_perm]
-    folder = _LcaFolder(skeys, sort_perm.astype(np.int64), taxonomy)
-    known = set(int(t) for t in taxonomy.taxids)
-    for taxid, is_contam, seq in _iter_tagged_sequences(
-        fastas, seqmap, known, min_sequence_size, verbose
+    A thin collector over build_database_stream: suitable whenever the
+    finished database fits memory; use stream_database_to_dir for
+    reference-scale builds."""
+    all_keys, all_vals = [], []
+    counts = np.zeros(4**nt, dtype=np.int64)
+    for keys, vals, key_bins in build_database_stream(
+        fastas, seqmap, taxonomy, k, nt,
+        min_sequence_size=min_sequence_size, max_kmers=max_kmers,
+        lca_order=lca_order, memory_budget=memory_budget,
+        tmp_dir=tmp_dir, verbose=verbose,
     ):
-        folder.fold(extract_canonical_kmers(seq, k), taxid, is_contam)
+        all_keys.append(keys)
+        all_vals.append(vals)
+        if len(key_bins):
+            counts += np.bincount(key_bins.astype(np.int64), minlength=4**nt)
+    keys = (
+        np.concatenate(all_keys) if all_keys else np.empty(0, dtype=np.uint64)
+    )
+    vals = (
+        np.concatenate(all_vals) if all_vals else np.empty(0, dtype=np.uint32)
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint64)
+    return BuildResult(keys=keys, vals=vals, offsets=offsets)
 
-    # --- --lca-order hierarchical re-set (build_db.sh:279-301): per priority
-    # group, a reset pass (-TR) then a re-set pass (-T).
-    for group in lca_order or []:
-        group_kmers = [
-            (taxid, is_contam, extract_canonical_kmers(seq, k))
-            for taxid, is_contam, seq in _iter_tagged_sequences(
-                group, seqmap, known, min_sequence_size, verbose
+
+def stream_database_to_dir(
+    db_dir: str,
+    fastas: list[str],
+    seqmap: dict[str, int],
+    taxonomy,
+    k: int,
+    nt: int,
+    min_sequence_size: int = 0,
+    max_kmers: int | None = None,
+    lca_order: list[list[str]] | None = None,
+    memory_budget: int = 1 << 30,
+    tmp_dir: str | None = None,
+    verbose: bool = False,
+) -> dict:
+    """Reference-scale build: stream buckets straight into
+    <db_dir>/database.kdb + database.idx + database.kdb.counts without ever
+    holding the database in memory. Returns {key_ct, pairs, seconds,
+    keys_per_s, n_buckets}. Output files are byte-identical to
+    write_kdb/write_index over build_database's arrays."""
+    import time
+
+    from ..formats.counts import write_counts
+    from ..formats.index import write_index
+    from ..formats.kdb import KRAKEN_DB_MAGIC, KdbHeader
+
+    t0 = time.time()
+    hdr = KdbHeader(key_bits=2 * k, val_len=4, key_ct=0)
+    header = bytearray(hdr.header_size)
+    header[:8] = KRAKEN_DB_MAGIC
+    header[8:16] = np.uint64(hdr.key_bits).tobytes()
+    header[16:24] = np.uint64(4).tobytes()
+
+    counts = np.zeros(4**nt, dtype=np.int64)
+    val_hist: dict[int, int] = {}
+    key_ct = 0
+    kdb_path = os.path.join(db_dir, "database.kdb")
+    stream = build_database_stream(
+        fastas, seqmap, taxonomy, k, nt,
+        min_sequence_size=min_sequence_size, max_kmers=max_kmers,
+        lca_order=lca_order, memory_budget=memory_budget,
+        tmp_dir=tmp_dir, verbose=verbose,
+    )
+    with open(kdb_path, "wb") as f:
+        f.write(bytes(header))
+        for keys, vals, key_bins in stream:
+            if not len(keys):
+                continue
+            key_ct += len(keys)
+            counts += np.bincount(key_bins.astype(np.int64), minlength=4**nt)
+            uv, uc = np.unique(vals, return_counts=True)
+            for v, c in zip(uv.tolist(), uc.tolist()):
+                val_hist[v] = val_hist.get(v, 0) + c
+            pair = np.zeros((len(keys), hdr.pair_size), dtype=np.uint8)
+            pair[:, : hdr.key_len] = (
+                np.ascontiguousarray(keys, "<u8").view(np.uint8).reshape(-1, 8)[
+                    :, : hdr.key_len
+                ]
             )
-        ]
-        for _, _, kms in group_kmers:
-            folder.reset(kms)
-        for taxid, is_contam, kms in group_kmers:
-            folder.fold(kms, taxid, is_contam)
+            pair[:, hdr.key_len : hdr.key_len + 4] = (
+                np.ascontiguousarray(vals, "<u4").view(np.uint8).reshape(-1, 4)
+            )
+            f.write(pair.tobytes())
+        f.seek(48)
+        f.write(np.uint64(key_ct).tobytes())
 
-    return BuildResult(keys=keys, vals=folder.vals, offsets=offsets)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint64)
+    write_index(os.path.join(db_dir, "database.idx"), nt, offsets)
+    write_counts(kdb_path + ".counts", dict(sorted(val_hist.items())))
+    dt = time.time() - t0
+    return {
+        "key_ct": key_ct,
+        "seconds": round(dt, 2),
+        "keys_per_s": round(key_ct / max(dt, 1e-9)),
+        "memory_budget": memory_budget,
+    }
 
 
 def shrink_pairs(

@@ -63,6 +63,13 @@ def build_parser():
     p.add_argument("--max-db-size", type=float, default=None, help="maximum database size in GB (down-samples k-mers)")
     p.add_argument("--shrink", type=int, default=None, metavar="N", help="shrink existing DB to N k-mers")
     p.add_argument("--shrink-block-offset", type=int, default=1)
+    p.add_argument(
+        "--build-memory",
+        default="1G",
+        metavar="SIZE",
+        help="RAM budget for the streaming LCA build (pair buckets are "
+        "sized to fit; K/M/G suffixes)",
+    )
     p.add_argument("--work-on-disk", action="store_true", help="accepted no-op")
     p.add_argument("--jellyfish-hash-size", help="accepted no-op (no Jellyfish needed)")
     p.add_argument("--jellyfish-bin", help="accepted no-op")
@@ -136,7 +143,7 @@ def main(argv=None) -> int:
             if os.path.exists(p):
                 os.remove(p)
 
-    from ..build.db_build import build_database, expand_dynamic_taxids, shrink_pairs
+    from ..build.db_build import expand_dynamic_taxids, shrink_pairs
     from ..formats import read_kdb, write_kdb, write_index
     from ..formats.counts import counts_from_vals, write_counts
     from ..taxonomy import Taxonomy
@@ -253,23 +260,34 @@ def main(argv=None) -> int:
                         print(f"--lca-order: no library files match {name}", file=sys.stderr)
                         return 1
                     lca_groups.append(group)
-        res = build_database(
+        from ..build.db_build import stream_database_to_dir
+        from .main import parse_size
+
+        stats = stream_database_to_dir(
+            db,
             fastas,
             seqmap,
             taxonomy,
             k=args.kmer_len,
             nt=args.minimizer_len,
-            db_dir=None,
             min_sequence_size=args.min_contig_size,
             max_kmers=max_kmers,
             lca_order=lca_groups,
+            memory_budget=parse_size(args.build_memory),
         )
-        write_kdb(kdb_path, res.keys, res.vals, k=args.kmer_len)
-        write_index(idx_path, args.minimizer_len, res.offsets)
-        vals = res.vals
+        print(
+            f"LCA database created: {stats['key_ct']} k-mers in "
+            f"{stats['seconds']}s ({stats['keys_per_s']}/s, "
+            f"budget {stats['memory_budget'] >> 20} MB)",
+            file=sys.stderr,
+        )
+        _log_step(db, f"database.kdb written ({stats['key_ct']} k-mers)")
+        vals = None
 
     counts_path = kdb_path + ".counts"
     if not os.path.exists(counts_path):
+        if vals is None:
+            _, _, vals = read_kdb(kdb_path)
         write_counts(counts_path, counts_from_vals(vals))
 
     # step 6b: self-classify the library into a database summary report

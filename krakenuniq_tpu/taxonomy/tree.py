@@ -306,6 +306,69 @@ class Taxonomy:
             gsc.append(0)
         return Taxonomy._build(taxids, parents, names, ranks, gs, gsc, self.has_genome_sizes)
 
+    def lca_pairs(self, ta: np.ndarray, tb: np.ndarray) -> np.ndarray:
+        """Vectorized lca_fold over taxid pairs: LCA(ta[i], tb[i]) for whole
+        arrays, with the reference fold semantics (krakenutil.cpp:90-118):
+        0 is the identity, unknown taxids resolve to 1, disconnected pairs
+        resolve to 1.
+
+        Distinct (a, b) pairs are deduplicated before the walk -- the
+        vectorized form of the old dict LCA cache: the ancestor walk runs on
+        the handful of distinct taxid pairs a library actually contains, not
+        on every k-mer."""
+        ta = np.asarray(ta, dtype=np.uint32)
+        tb = np.asarray(tb, dtype=np.uint32)
+        packed = (ta.astype(np.uint64) << np.uint64(32)) | tb.astype(np.uint64)
+        up, inv = np.unique(packed, return_inverse=True)
+        a = (up >> np.uint64(32)).astype(np.uint32)
+        b = up.astype(np.uint32)
+
+        da = self.dense_index(a)
+        db = self.dense_index(b)
+        known_a = (self.taxids[da] == a) & (a != 0)
+        known_b = (self.taxids[db] == b) & (b != 0)
+
+        tin_a = self.tin[da].astype(np.int64)
+        tin_b = self.tin[db].astype(np.int64)
+        tmin = np.where(known_b, np.minimum(tin_a, tin_b), tin_a)
+        tmin = np.where(known_a, tmin, tin_b)
+        tmax = np.where(known_b, np.maximum(tin_a, tin_b), tin_a)
+        tmax = np.where(known_a, tmax, tin_b)
+        node = np.where(known_a, da, db).astype(np.int64)
+        node = np.where(tin_b < tin_a, np.where(known_b, db, node), node)
+
+        active = known_a | known_b
+        out = np.zeros(len(up), dtype=np.uint32)
+        # identity / unknown-member rules first (matching lca_fold):
+        #   both zero -> 0; one zero/unknown member with nonzero taxid -> 1;
+        #   one known member alone -> that member
+        one_sided = known_a ^ known_b
+        other_nonzero = np.where(known_a, b, a) != 0
+        out[one_sided & ~other_nonzero] = np.where(known_a, a, b)[
+            one_sided & ~other_nonzero
+        ]
+        unknown_member = one_sided & other_nonzero
+        out[unknown_member] = 1
+        neither = ~known_a & ~known_b
+        out[neither & ((a != 0) | (b != 0))] = 1
+        walk = known_a & known_b
+        # ancestor walk from the min-tin member until the node's Euler range
+        # contains tmax (lca_fold's loop, vectorized over distinct pairs)
+        for _ in range(self.max_depth + 2):
+            if not walk.any():
+                break
+            contained = (self.tin[node] <= tmin) & (tmax < self.tout[node])
+            done = walk & contained
+            out[done] = self.taxids[node[done]]
+            walk &= ~contained
+            p = self.parent[node]
+            stalled = walk & (p == node)
+            out[stalled] = 1  # disconnected forest: resolve to root
+            walk &= ~stalled
+            node = np.where(walk, p, node)
+        out[walk] = 1
+        return out[inv]
+
     def lca_fold(self, taxids) -> int:
         """LCA of a set of taxids (fold semantics of krakenutil.cpp:90-118:
         unknown/disconnected members resolve toward the root)."""

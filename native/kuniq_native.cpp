@@ -445,6 +445,106 @@ PyObject* kraken_lines_rle(PyObject*, PyObject* args) {
 }
 
 /* ------------------------------------------------------------------------
+ * extract_kmer_bins(seq: bytes, k, nt, xor_mask)
+ *   -> (kmers u64[cap], bins u64[cap], count)   [callers slice to count]
+ *
+ * One rolling pass over a sequence producing, for every valid k-mer window
+ * (KmerScanner semantics, krakenutil.cpp:239-278: any non-ACGT byte poisons
+ * every window containing it):
+ *   - the canonical k-mer (min of forward and reverse-complement,
+ *     krakendb.cpp:238-246), and
+ *   - its scrambled-minimizer bin (krakendb.cpp:182-215): the minimum over
+ *     the k-nt+1 m-mer windows of xor_mask ^ canonical(m-mer).
+ *
+ * The bin is strand-independent (canonical(rc(m)) == canonical(m) and the
+ * m-mer window set of the reverse complement is the reversed, complemented
+ * window set), so it is computed over the FORWARD m-mer stream with a
+ * monotonic-deque sliding-window minimum -- O(1) amortized per base, vs the
+ * numpy fallback's (k-nt+1) full-array passes (utils/bits.py bin_key).
+ * Replaces the DB builder's per-pair numpy binning (build/db_build.py),
+ * which measured ~2.3 us/k-mer; this loop runs ~100x faster.
+ */
+PyObject* extract_kmer_bins(PyObject*, PyObject* args) {
+  Py_buffer view;
+  int k, nt;
+  unsigned long long xor_mask_in;
+  if (!PyArg_ParseTuple(args, "y*iiK", &view, &k, &nt, &xor_mask_in))
+    return nullptr;
+  const uint8_t* seq = (const uint8_t*)view.buf;
+  const int64_t n = (int64_t)view.len;
+  if (k < 2 || k > 31 || nt < 1 || nt >= k) {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, "need 2 <= k <= 31, 1 <= nt < k");
+    return nullptr;
+  }
+  const uint64_t kmask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  const uint64_t mmask = (1ull << (2 * nt)) - 1;
+  const uint64_t xm = xor_mask_in & mmask;
+  const int w = k - nt + 1;  // m-mer windows per k-mer
+
+  // fill numpy arrays directly (no vector + copy); slice to count at return
+  npy_intp cap[1] = {n >= k ? (npy_intp)(n - k + 1) : 0};
+  PyArrayObject* k_arr = (PyArrayObject*)PyArray_SimpleNew(1, cap, NPY_UINT64);
+  PyArrayObject* b_arr = (PyArrayObject*)PyArray_SimpleNew(1, cap, NPY_UINT64);
+  if (!k_arr || !b_arr) {
+    PyBuffer_Release(&view);
+    Py_XDECREF(k_arr);
+    Py_XDECREF(b_arr);
+    return nullptr;
+  }
+  uint64_t* out_k = (uint64_t*)PyArray_DATA(k_arr);
+  uint64_t* out_b = (uint64_t*)PyArray_DATA(b_arr);
+  int64_t cnt = 0;
+  // monotonic deque over the canonical-m-mer-xor stream: power-of-two ring
+  // of (value, end-position) with nondecreasing values front to back
+  int dq_cap = 2;
+  while (dq_cap < w + 1) dq_cap <<= 1;
+  const int dq_mask = dq_cap - 1;
+  std::vector<uint64_t> dq_val((size_t)dq_cap);
+  std::vector<int64_t> dq_pos((size_t)dq_cap);
+  int64_t dq_head = 0, dq_tail = 0;  // [head, tail), monotonically increasing
+
+  uint64_t fwd_k = 0, rc_k = 0;  // k-mer registers
+  uint64_t fwd_m = 0, rc_m = 0;  // m-mer registers
+  const int rc_k_shift = 2 * (k - 1);
+  const int rc_m_shift = 2 * (nt - 1);
+  int64_t last_ambig = -1;
+
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t b = seq[i];
+    const uint64_t c = CODE[b];
+    if (AMBIG[b]) last_ambig = i;
+    fwd_k = ((fwd_k << 2) | c) & kmask;
+    rc_k = (rc_k >> 2) | ((3ull - c) << rc_k_shift);
+    fwd_m = ((fwd_m << 2) | c) & mmask;
+    rc_m = (rc_m >> 2) | ((3ull - c) << rc_m_shift);
+    if (i >= nt - 1) {
+      // canonical m-mer ending at i, xor-scrambled
+      const uint64_t cm = fwd_m < rc_m ? fwd_m : rc_m;
+      const uint64_t cand = xm ^ cm;
+      while (dq_tail != dq_head && dq_val[(dq_tail - 1) & dq_mask] >= cand)
+        dq_tail--;
+      dq_val[dq_tail & dq_mask] = cand;
+      dq_pos[dq_tail & dq_mask] = i;
+      dq_tail++;
+      // evict m-mers that ended before the current k-mer window
+      while (dq_pos[dq_head & dq_mask] <= i - w) dq_head++;
+    }
+    if (i >= k - 1 && last_ambig <= i - k) {
+      out_k[cnt] = fwd_k < rc_k ? fwd_k : rc_k;
+      out_b[cnt] = dq_val[dq_head & dq_mask];
+      cnt++;
+    }
+  }
+  PyBuffer_Release(&view);
+  PyObject* out =
+      Py_BuildValue("(OOn)", (PyObject*)k_arr, (PyObject*)b_arr, (Py_ssize_t)cnt);
+  Py_DECREF(k_arr);
+  Py_DECREF(b_arr);
+  return out;
+}
+
+/* ------------------------------------------------------------------------
  * chd_place(hashes u64[n], lr, lg, seed, max_attempts)
  *   -> (row_of i32[n], col_of i8[n], disp u32[2^lg])  or None on failure
  *
@@ -634,6 +734,8 @@ PyMethodDef methods[] = {
     {"kraken_lines", kraken_lines, METH_VARARGS, "Format kraken output lines"},
     {"kraken_lines_rle", kraken_lines_rle, METH_VARARGS,
      "Format kraken output lines from device RLE runs"},
+    {"extract_kmer_bins", extract_kmer_bins, METH_VARARGS,
+     "Canonical k-mers + scrambled-minimizer bins, one rolling pass"},
     {nullptr, nullptr, 0, nullptr},
 };
 
@@ -648,6 +750,6 @@ PyMODINIT_FUNC PyInit_kuniq_native(void) {
   import_array();
   init_tables();
   PyObject* mod = PyModule_Create(&moduledef);
-  if (mod) PyModule_AddIntConstant(mod, "API_VERSION", 5);
+  if (mod) PyModule_AddIntConstant(mod, "API_VERSION", 6);
   return mod;
 }

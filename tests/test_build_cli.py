@@ -209,6 +209,62 @@ def test_contaminant_taxid_build():
     assert (res.vals == 32630).sum() > 100  # the shared block is claimed
 
 
+def test_streaming_build_bounded_memory(tmp_path):
+    """The pair-spill engine: a tiny memory budget forces many disk buckets;
+    result identical to the single-bucket build, and stream_database_to_dir
+    writes byte-identical files (VERDICT r4 'make the DB builder scale')."""
+    from krakenuniq_tpu.build import build_database
+    from krakenuniq_tpu.build.db_build import stream_database_to_dir
+    from krakenuniq_tpu.formats import write_index, write_kdb
+    from krakenuniq_tpu.formats.seqmap import read_seqid2taxid
+    from krakenuniq_tpu.taxonomy import Taxonomy
+
+    tax = Taxonomy.from_taxdb_file(os.path.join(DATA, "taxDB"))
+    seqmap = read_seqid2taxid(os.path.join(DATA, "seqid2taxid.map"))
+    lib = [os.path.join(DATA, "library.fna")]
+
+    big = build_database(lib, seqmap, tax, k=21, nt=7)
+    small = build_database(lib, seqmap, tax, k=21, nt=7, memory_budget=64 << 10)
+    np.testing.assert_array_equal(big.keys, small.keys)
+    np.testing.assert_array_equal(big.vals, small.vals)
+    np.testing.assert_array_equal(big.offsets, small.offsets)
+
+    ram = tmp_path / "ram"
+    stream = tmp_path / "stream"
+    ram.mkdir(), stream.mkdir()
+    write_kdb(ram / "database.kdb", big.keys, big.vals, k=21)
+    write_index(ram / "database.idx", 7, big.offsets)
+    stats = stream_database_to_dir(
+        str(stream), lib, seqmap, tax, k=21, nt=7, memory_budget=64 << 10
+    )
+    assert stats["key_ct"] == len(big.keys)
+    assert (stream / "database.kdb").read_bytes() == (ram / "database.kdb").read_bytes()
+    assert (stream / "database.idx").read_bytes() == (ram / "database.idx").read_bytes()
+    # the streamed .counts equals the histogram of the in-RAM value column
+    from krakenuniq_tpu.formats.counts import counts_from_vals, write_counts
+
+    write_counts(ram / "database.kdb.counts", counts_from_vals(big.vals))
+    assert (stream / "database.kdb.counts").read_text() == (
+        ram / "database.kdb.counts"
+    ).read_text()
+
+
+def test_lca_pairs_matches_fold():
+    """Vectorized pairwise LCA == the scalar lca_fold oracle on every taxid
+    pair of the fixture taxonomy (plus 0/unknown edge rules)."""
+    from krakenuniq_tpu.taxonomy import Taxonomy
+
+    tax = Taxonomy.from_taxdb_file(os.path.join(DATA, "taxDB"))
+    ids = [int(t) for t in tax.taxids] + [0, 999_999]
+    a, b = np.meshgrid(ids, ids)
+    a, b = a.ravel().astype(np.uint32), b.ravel().astype(np.uint32)
+    got = tax.lca_pairs(a, b)
+    want = np.asarray(
+        [tax.lca_fold([int(x), int(y)]) for x, y in zip(a, b)], dtype=np.uint32
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_lca_order_build(tmp_path):
     """KRAKEN_LCA_ORDER: later priority groups override earlier values for
     their own k-mers."""
