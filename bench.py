@@ -66,6 +66,152 @@ def _pack_codes(codes: np.ndarray, ambig: np.ndarray):
     return packed_c, packed_a
 
 
+def ensure_db_dir(n_species, genome_len, k, nt, pad_nodes, ballast):
+    """Build-or-load the persistent reference-layout synthetic DB dir."""
+    from krakenuniq_tpu.formats import write_index, write_kdb
+    from krakenuniq_tpu.utils.demo import make_demo_db
+
+    cache_root = os.path.expanduser("~/.cache")
+    db_dir = os.path.join(
+        cache_root,
+        f"kuniq_bench_dbdir_{n_species}_{genome_len}_{k}_{nt}_{pad_nodes}_{ballast}_v5",
+    )
+    genomes_npz = os.path.join(db_dir, "genomes.npz")
+    os.makedirs(db_dir, exist_ok=True)
+    if os.path.exists(genomes_npz) and os.path.exists(os.path.join(db_dir, "taxDB")):
+        z = np.load(genomes_npz, allow_pickle=True)
+        genomes = z["genomes"].item()
+        n_keys = int(z["n_keys"])
+        print(f"bench db dir loaded from cache ({db_dir})", file=sys.stderr)
+    else:
+        t0 = time.time()
+        print(
+            f"building bench db (one-time; minutes at {ballast/1e6:.0f}M keys)",
+            file=sys.stderr,
+        )
+        keys, vals, offsets, tax, genomes = make_demo_db(
+            n_species=n_species, genome_len=genome_len, k=k, nt=nt,
+            species_base=10_000_000, pad_nodes=pad_nodes, ballast_keys=ballast,
+        )
+        n_keys = len(keys)
+        write_kdb(os.path.join(db_dir, "database.kdb"), keys, vals, k=k)
+        write_index(
+            os.path.join(db_dir, "database.idx"), nt,
+            np.asarray(offsets, dtype=np.uint64),
+        )
+        tax.write_taxdb(os.path.join(db_dir, "taxDB"))
+        np.savez(genomes_npz + ".tmp.npz",
+                 genomes=np.array(genomes, dtype=object), n_keys=np.int64(n_keys))
+        os.replace(genomes_npz + ".tmp.npz", genomes_npz)
+        del keys, vals, offsets, tax
+        print(f"bench db built in {time.time()-t0:.0f}s -> {db_dir}", file=sys.stderr)
+    return db_dir, genomes, n_keys
+
+
+def phase_microbench(c, genomes, batch, read_len, k, reps, emit_windows=None):
+    """Per-phase device-step timings on classifier `c` (windows+murmur,
+    probe, resolve, full step). Returns (phases dict, lookups_per_s,
+    probe_gbps, lanes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from krakenuniq_tpu.classify import device_step as ds
+    from krakenuniq_tpu.classify.device_step import classify_step
+    from krakenuniq_tpu.kmer import encode_batch
+    from krakenuniq_tpu.kmer import ops as kops
+    from krakenuniq_tpu.lookup.hash_lookup import hash_lookup_kmers
+    from krakenuniq_tpu.taxonomy.resolve import resolve_reads
+    from krakenuniq_tpu.utils.demo import make_demo_reads
+
+    db0 = c.dbs[0]
+    hash_lb = db0.hash_lb
+    fused_planes = c._db_planes[0]
+    reads = make_demo_reads(genomes, n_reads=batch, read_len=read_len)
+    lb_len = max(128, -(-read_len // 32) * 32)
+    enc = encode_batch(reads, lb=lb_len, batch=batch)
+    codes_packed, ambig_packed = _pack_codes(
+        np.asarray(enc.codes), np.asarray(enc.ambig)
+    )
+    codes_packed = jax.device_put(codes_packed)
+    ambig_packed = jax.device_put(ambig_packed)
+    w = lb_len - k + 1
+    lanes = batch * w
+
+    cfg = c._cfg_packed
+    taxid_table = c._taxid_table
+    targs = (c._tin, c._tout, c._parent)
+    root = c._root_dense
+    lengths = jax.device_put(np.asarray(enc.lengths))
+
+    def timeit(fn, n=max(2, reps // 2)):
+        np.asarray(fn())
+        t1 = time.time()
+        for _ in range(n - 1):
+            fn()
+        np.asarray(fn())
+        return (time.time() - t1) / n
+
+    # pass the table planes as ARGUMENTS: closing over them would bake the
+    # multi-GB table into the lowered program as a constant
+    @jax.jit
+    def _ph_windows(cp, ap):
+        cc, aa = ds.unpack_input(cp, ap)
+        canon = kops.canonical_representation(kops.pack_windows(cc, k), k)
+        return jnp.sum(ds.murmur3_finalizer_device(canon))
+
+    @jax.jit
+    def _ph_probe(planes, cp, ap):
+        cc, aa = ds.unpack_input(cp, ap)
+        canon = kops.canonical_representation(kops.pack_windows(cc, k), k)
+        h = ds.murmur3_finalizer_device(canon)
+        val = hash_lookup_kmers(planes, h, jnp.ones_like(h, bool), hash_lb)
+        return jnp.sum(val)
+
+    rng = np.random.default_rng(0)
+    vpool = np.unique(np.asarray(db0.vals_dense))
+    if c._pool is not None:
+        vpool = c._pool.pool_index(vpool)
+    taxa_rand = jax.device_put(
+        vpool[rng.integers(0, len(vpool), size=(batch, w))].astype(np.int32))
+    hitmask = jax.device_put(rng.random((batch, w)) < 0.8)
+
+    @jax.jit
+    def _ph_resolve(tr, hm, t1, t2, t3):
+        return jnp.sum(resolve_reads(tr, hm, t1, t2, t3, root, cfg.max_depth))
+
+    def ph_full():
+        out = classify_step(
+            (fused_planes,), taxid_table, *targs, root,
+            codes_packed, ambig_packed, lengths, cfg)
+        return out["packed"]
+
+    phases = {}
+    phases["windows_murmur_ms"] = 1e3 * timeit(
+        lambda: _ph_windows(codes_packed, ambig_packed))
+    if emit_windows:
+        emit_windows()
+    phases["probe_chain_ms"] = 1e3 * timeit(
+        lambda: _ph_probe(fused_planes, codes_packed, ambig_packed))
+    phases["probe_ms"] = phases["probe_chain_ms"] - phases["windows_murmur_ms"]
+    phases["resolve_ms"] = 1e3 * timeit(
+        lambda: _ph_resolve(taxa_rand, hitmask, *targs))
+    dt_full = timeit(ph_full)
+    phases["full_step_ms"] = 1e3 * dt_full
+
+    lookups_per_s = lanes / dt_full
+    probe_bytes = 2 * 16 * lanes  # two 16B candidate rows per query
+    probe_gbps = probe_bytes / max(phases["probe_ms"], 1e-6) / 1e6
+    print(
+        f"device step B={batch} W={w}: full {phases['full_step_ms']:.1f}ms "
+        f"({lookups_per_s/1e6:.1f}M lookups/s) | windows+murmur "
+        f"{phases['windows_murmur_ms']:.1f}ms, probe {phases['probe_ms']:.1f}ms "
+        f"({probe_gbps:.1f}GB/s gathered vs {HBM_PEAK_GBPS:.0f}GB/s HBM peak), "
+        f"resolve {phases['resolve_ms']:.1f}ms",
+        file=sys.stderr,
+    )
+    return phases, lookups_per_s, probe_gbps, lanes
+
+
 def main():
     t_start = time.time()
     import jax
@@ -92,38 +238,9 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 0))  # 0 = no gating
 
     # ---- persistent reference-layout DB dir (built once, reused) ---------
-    from krakenuniq_tpu.formats import write_index, write_kdb
-
-    cache_root = os.path.expanduser("~/.cache")
-    db_dir = os.path.join(
-        cache_root,
-        f"kuniq_bench_dbdir_{n_species}_{genome_len}_{k}_{nt}_{pad_nodes}_{ballast}_v5",
+    db_dir, genomes, n_keys = ensure_db_dir(
+        n_species, genome_len, k, nt, pad_nodes, ballast
     )
-    genomes_npz = os.path.join(db_dir, "genomes.npz")
-    os.makedirs(db_dir, exist_ok=True)
-    if os.path.exists(genomes_npz) and os.path.exists(os.path.join(db_dir, "taxDB")):
-        z = np.load(genomes_npz, allow_pickle=True)
-        genomes = z["genomes"].item()
-        n_keys = int(z["n_keys"])
-        print(f"bench db dir loaded from cache ({db_dir})", file=sys.stderr)
-    else:
-        print("building bench db (one-time; minutes at 100M keys)", file=sys.stderr)
-        keys, vals, offsets, tax, genomes = make_demo_db(
-            n_species=n_species, genome_len=genome_len, k=k, nt=nt,
-            species_base=10_000_000, pad_nodes=pad_nodes, ballast_keys=ballast,
-        )
-        n_keys = len(keys)
-        write_kdb(os.path.join(db_dir, "database.kdb"), keys, vals, k=k)
-        write_index(
-            os.path.join(db_dir, "database.idx"), nt,
-            np.asarray(offsets, dtype=np.uint64),
-        )
-        tax.write_taxdb(os.path.join(db_dir, "taxDB"))
-        np.savez(genomes_npz + ".tmp.npz",
-                 genomes=np.array(genomes, dtype=object), n_keys=np.int64(n_keys))
-        os.replace(genomes_npz + ".tmp.npz", genomes_npz)
-        del keys, vals, offsets, tax
-        print(f"bench db built in {time.time()-t_start:.0f}s -> {db_dir}", file=sys.stderr)
 
     from krakenuniq_tpu.classify import Classifier, ClassifyOptions
 
@@ -262,99 +379,9 @@ def main():
     emit("device_counters")
 
     # ---- stage: device-step microbench with phase breakdown --------------
-    import jax.numpy as jnp
-
-    from krakenuniq_tpu.classify import device_step as ds
-    from krakenuniq_tpu.classify.device_step import classify_step
-    from krakenuniq_tpu.kmer import encode_batch
-    from krakenuniq_tpu.kmer import ops as kops
-    from krakenuniq_tpu.lookup.hash_lookup import hash_lookup_kmers
-    from krakenuniq_tpu.taxonomy.resolve import resolve_reads
-
-    db0 = c_dc.dbs[0]
-    hash_lb = db0.hash_lb
-    fused_planes = c_dc._db_planes[0]
-    reads = make_demo_reads(genomes, n_reads=batch, read_len=read_len)
-    lb_len = max(128, -(-read_len // 32) * 32)
-    enc = encode_batch(reads, lb=lb_len, batch=batch)
-    codes_packed, ambig_packed = _pack_codes(
-        np.asarray(enc.codes), np.asarray(enc.ambig)
-    )
-    codes_packed = jax.device_put(codes_packed)
-    ambig_packed = jax.device_put(ambig_packed)
-    lengths = jax.device_put(np.asarray(enc.lengths))
-    w = lb_len - k + 1
-    lanes = batch * w
-
-    cfg = c_dc._cfg_packed
-    taxid_table = c_dc._taxid_table
-    targs = (c_dc._tin, c_dc._tout, c_dc._parent)
-    root = c_dc._root_dense
-
-    def timeit(fn, n=max(2, reps // 2)):
-        np.asarray(fn())
-        t1 = time.time()
-        for _ in range(n - 1):
-            fn()
-        np.asarray(fn())
-        return (time.time() - t1) / n
-
-    # pass the table planes as ARGUMENTS: closing over them would bake the
-    # multi-GB table into the lowered program as a constant
-    @jax.jit
-    def _ph_windows(cp, ap):
-        c, a = ds.unpack_input(cp, ap)
-        canon = kops.canonical_representation(kops.pack_windows(c, k), k)
-        return jnp.sum(ds.murmur3_finalizer_device(canon))
-
-    @jax.jit
-    def _ph_probe(planes, cp, ap):
-        c, a = ds.unpack_input(cp, ap)
-        canon = kops.canonical_representation(kops.pack_windows(c, k), k)
-        h = ds.murmur3_finalizer_device(canon)
-        val = hash_lookup_kmers(planes, h, jnp.ones_like(h, bool), hash_lb)
-        return jnp.sum(val)
-
-    rng = np.random.default_rng(0)
-    vpool = np.unique(np.asarray(db0.vals_dense))
-    if c_dc._pool is not None:
-        vpool = c_dc._pool.pool_index(vpool)
-    taxa_rand = jax.device_put(
-        vpool[rng.integers(0, len(vpool), size=(batch, w))].astype(np.int32))
-    hitmask = jax.device_put(rng.random((batch, w)) < 0.8)
-
-    @jax.jit
-    def _ph_resolve(tr, hm, t1, t2, t3):
-        return jnp.sum(resolve_reads(tr, hm, t1, t2, t3, root, cfg.max_depth))
-
-    def ph_full():
-        out = classify_step(
-            (fused_planes,), taxid_table, *targs, root,
-            codes_packed, ambig_packed, lengths, cfg)
-        return out["packed"]
-
-    phases = {}
-    phases["windows_murmur_ms"] = 1e3 * timeit(
-        lambda: _ph_windows(codes_packed, ambig_packed))
-    emit("microbench_windows")
-    phases["probe_chain_ms"] = 1e3 * timeit(
-        lambda: _ph_probe(fused_planes, codes_packed, ambig_packed))
-    phases["probe_ms"] = phases["probe_chain_ms"] - phases["windows_murmur_ms"]
-    phases["resolve_ms"] = 1e3 * timeit(
-        lambda: _ph_resolve(taxa_rand, hitmask, *targs))
-    dt_full = timeit(ph_full)
-    phases["full_step_ms"] = 1e3 * dt_full
-
-    lookups_per_s = lanes / dt_full
-    probe_bytes = 2 * 16 * lanes  # two 16B candidate rows per query
-    probe_gbps = probe_bytes / max(phases["probe_ms"], 1e-6) / 1e6
-    print(
-        f"device step B={batch} W={w}: full {phases['full_step_ms']:.1f}ms "
-        f"({lookups_per_s/1e6:.1f}M lookups/s) | windows+murmur "
-        f"{phases['windows_murmur_ms']:.1f}ms, probe {phases['probe_ms']:.1f}ms "
-        f"({probe_gbps:.1f}GB/s gathered vs {HBM_PEAK_GBPS:.0f}GB/s HBM peak), "
-        f"resolve {phases['resolve_ms']:.1f}ms",
-        file=sys.stderr,
+    phases, lookups_per_s, probe_gbps, _lanes = phase_microbench(
+        c_dc, genomes, batch, read_len, k, reps,
+        emit_windows=lambda: emit("microbench_windows"),
     )
     RESULT.update(
         device_step_lookups_per_s=round(lookups_per_s, 1),
@@ -443,10 +470,20 @@ def main():
             t_w = time.time()
             c_ooc.run([warm_path], kraken_fh=sink)
             print(f"pipeline [ooc] warmup: {time.time()-t_w:.2f}s", file=sys.stderr)
+            # split the chunk-table stream cost from the probe compute
+            # (VERDICT r4 weak #3: the 8.9x ooc_vs_resident figure was not
+            # decomposable from the artifact). A pure blocking upload pass
+            # over every chunk table measures what the double-buffer must
+            # hide per table pass on THIS session's link.
+            t_up = time.time()
+            for _planes in c_ooc._ooc[0].chunk_planes:
+                jax.block_until_ready(tuple(jax.device_put(p) for p in _planes))
+            RESULT["ooc_chunk_upload_s"] = round(time.time() - t_up, 2)
             c_ooc.reset_counters()
             t0 = time.time()
             c_ooc.run([ooc_reads_path], kraken_fh=sink)
             dt = time.time() - t0
+            RESULT["ooc_run_s"] = round(dt, 2)
             RESULT["ooc_reads_per_s"] = round(n_ooc_reads / dt, 1)
             RESULT["ooc_vs_resident"] = round(
                 RESULT["value"] / (n_ooc_reads / dt), 2
@@ -484,6 +521,97 @@ def main():
         fb_rps = run_mode(c_fb, "pool_fallback", timed_passes=1)
         RESULT["pool_fallback_reads_per_s"] = round(fb_rps, 1)
         emit("pool_fallback")
+        del c_fb
+
+    # ---- stage: HBM-full-scale block (VERDICT r4 item 2) -----------------
+    # ~1G keys => an ~8.6 GB CHD table on the 16 GB part: validates the §12
+    # scaling model's gather-cost-class assumption AT the sharded-table
+    # size, and measures OOC at a realistic chunk count with the
+    # upload/probe split. Heavy (table build is cached; upload is ~GBs over
+    # this link), so gated by elapsed time and BENCH_LARGE=0.
+    large_deadline = float(os.environ.get("BENCH_LARGE_DEADLINE_S", 7200))
+    large_ballast = int(os.environ.get("BENCH_LARGE_BALLAST", 1_000_000_000))
+    if (
+        os.environ.get("BENCH_LARGE", "1") != "0"
+        and large_ballast > ballast
+        and time.time() - t_start < large_deadline
+    ):
+        import gc
+
+        try:
+            del c_dc
+        except NameError:
+            pass
+        gc.collect()
+        db_dir_lg, genomes_lg, n_keys_lg = ensure_db_dir(
+            n_species, genome_len, k, nt, pad_nodes, large_ballast
+        )
+        t_load = time.time()
+        c_lg = Classifier([db_dir_lg], ClassifyOptions(print_progress=False))
+        load_lg = time.time() - t_load
+        table_gb_lg = (
+            sum(int(np.prod(p.shape)) * 4 for p in c_lg._db_planes[0]) / 1e9
+        )
+        LG = {
+            "db_keys": n_keys_lg,
+            "hash_lb": c_lg.dbs[0].hash_lb,
+            "table_gb": round(table_gb_lg, 2),
+            "load_upload_s": round(load_lg, 1),
+        }
+        RESULT["large"] = LG
+        print(
+            f"LARGE stage: {n_keys_lg/1e6:.0f}M keys, lb={LG['hash_lb']} "
+            f"({table_gb_lg:.2f} GB table), load+upload {load_lg:.0f}s",
+            file=sys.stderr,
+        )
+        ph, lps, pgbps, lanes_lg = phase_microbench(
+            c_lg, genomes_lg, batch, read_len, k, reps
+        )
+        LG["phase_ms"] = {p: round(v, 2) for p, v in ph.items()}
+        LG["probe_ns_per_row"] = round(ph["probe_ms"] * 1e6 / lanes_lg, 2)
+        LG["device_step_lookups_per_s"] = round(lps, 1)
+        emit("large_phase")
+        lg_rps = run_mode(c_lg, "large_exact_compat", timed_passes=1)
+        LG["reads_per_s"] = round(lg_rps, 1)
+        emit("large_pipeline")
+
+        if (
+            os.environ.get("BENCH_LARGE_OOC", "1") != "0"
+            and time.time() - t_start < large_deadline
+        ):
+            del c_lg
+            gc.collect()
+            table_b = (1 << LG["hash_lb"]) * 16
+            try:
+                c_lgo = Classifier(
+                    [db_dir_lg],
+                    ClassifyOptions(
+                        print_progress=False, preload_size=table_b // 4
+                    ),
+                )
+            except ValueError:
+                c_lgo = None
+            if c_lgo is not None and c_lgo._ooc is not None:
+                LG["ooc_chunks"] = c_lgo._ooc[0].n_chunks
+                t_up = time.time()
+                for _planes in c_lgo._ooc[0].chunk_planes:
+                    jax.block_until_ready(
+                        tuple(jax.device_put(p) for p in _planes)
+                    )
+                LG["ooc_chunk_upload_s"] = round(time.time() - t_up, 2)
+                n_lg_ooc = batch  # one span through the full chunk stream
+                p_ooc = os.path.join(td, "lg_ooc.fa")
+                write_reads(p_ooc, n_lg_ooc)
+                sink = open(os.devnull, "w")
+                c_lgo.run([p_ooc], kraken_fh=sink)  # warm/compile
+                c_lgo.reset_counters()
+                t0 = time.time()
+                c_lgo.run([p_ooc], kraken_fh=sink)
+                dt = time.time() - t0
+                LG["ooc_run_s"] = round(dt, 2)
+                LG["ooc_reads_per_s"] = round(n_lg_ooc / dt, 1)
+                del c_lgo
+        emit("large")
     td_ctx.cleanup()
 
 

@@ -138,3 +138,34 @@ def test_tail_span_fetch_slice(tmp_path):
     a = run(str(path), use_native=True)
     b = run(str(path), use_native=False)
     assert a == b
+
+
+def test_extract_kmer_bins_matches_numpy_oracle():
+    """The native rolling scanner (canonical k-mers + deque sliding-window
+    minimizer, kuniq_native.extract_kmer_bins) is bit-identical to the
+    numpy shift-cascade + window-min oracle, including ambiguity poisoning,
+    lowercase bases, and short/edge sequences."""
+    from krakenuniq_tpu._native_build import ensure_native
+    from krakenuniq_tpu.build.db_build import extract_canonical_kmers
+    from krakenuniq_tpu.utils.bits import INDEX2_XOR_MASK, bin_key
+
+    nat = ensure_native()
+    if nat is None or not hasattr(nat, "extract_kmer_bins"):
+        pytest.skip("native extension unavailable")
+    rng = np.random.default_rng(42)
+    alphabet = np.frombuffer(b"ACGTNacgtn-X", dtype=np.uint8)
+    cases = [
+        b"",
+        b"ACGT",  # shorter than k
+        b"A" * 40,
+        b"N" * 40,
+        bytes(alphabet[rng.integers(0, len(alphabet), size=5000)]),
+        bytes(alphabet[rng.integers(0, 4, size=5000)]),  # clean ACGT
+    ]
+    for k, nt in ((31, 15), (31, 12), (21, 7), (5, 3)):
+        for raw in cases:
+            ks, bs, cnt = nat.extract_kmer_bins(raw, k, nt, int(INDEX2_XOR_MASK))
+            ks, bs = ks[:cnt], bs[:cnt]
+            want_k = extract_canonical_kmers(raw, k)
+            np.testing.assert_array_equal(ks, want_k)
+            np.testing.assert_array_equal(bs, bin_key(want_k, k, nt))

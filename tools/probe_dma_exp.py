@@ -42,12 +42,16 @@ from jax.experimental.pallas import tpu as pltpu
 def make_probe(Q: int, S: int, n_chunks: int):
     qw = Q // 8  # q feeds as [n_chunks, 8, Q//8] to satisfy SMEM tiling
 
+    # Semaphores form a RING of S (one per in-flight slot): a sem array the
+    # size of the whole chunk (Q=2048) fails to compile -- the hardware sem
+    # count is bounded; S<=256 rings compile. Copy i signals sems[i % S];
+    # the wait before issuing i targets copy i-S, which used the same slot.
     def kernel(q_ref, table_ref, out_ref, scratch, sems):
         def row_dma(i):
             return pltpu.make_async_copy(
                 table_ref.at[pl.ds(q_ref[0, i // qw, i % qw], 1), :],
                 scratch.at[pl.ds(i, 1), :],
-                sems.at[i],
+                sems.at[jax.lax.rem(i, S)],
             )
 
         def issue(i, _):
@@ -78,7 +82,7 @@ def make_probe(Q: int, S: int, n_chunks: int):
         out_shape=jax.ShapeDtypeStruct((n_chunks * Q, 128), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((Q, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA((Q,)),
+            pltpu.SemaphoreType.DMA((S,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
@@ -130,15 +134,20 @@ def main() -> int:
     n = n_chunks * args.q
 
     # XLA controls, same session: the production 16B-row gather and a 512B
-    # wide-row gather (same bytes the kernel moves)
+    # wide-row gather. The 16B table uploads as its own [R, 4] device array
+    # (a device reshape of the wide table pads rows to the 128-lane tile =
+    # 32x the memory; closing over the host array would bake a 1 GB program
+    # constant).
     q16 = jax.device_put(rng.integers(0, R, size=(n,), dtype=np.int32))
-    dt = bench(lambda qq: jnp.take(jnp.asarray(table16), qq, axis=0), q16)
+    t16 = jax.device_put(table16)
+    dt = bench(lambda t, qq: jnp.take(t, qq, axis=0), t16, q16)
+    del t16
     print(
         f"xla 16B-row gather : {dt*1e3:7.1f} ms  {dt/n*1e9:6.2f} ns/row  "
         f"{n/dt/1e6:6.1f} M rows/s"
     )
     qw = jax.device_put(rng.integers(0, Rw, size=(n,), dtype=np.int32))
-    dt = bench(lambda qq: jnp.take(table, qq, axis=0), qw)
+    dt = bench(lambda t, qq: jnp.take(t, qq, axis=0), table, qw)
     print(
         f"xla 512B-row gather: {dt*1e3:7.1f} ms  {dt/n*1e9:6.2f} ns/row  "
         f"{n/dt/1e6:6.1f} M rows/s"
