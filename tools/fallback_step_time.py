@@ -59,5 +59,43 @@ def main():
                 print(f"  {tag}/{name}: {dt*1e3:.0f} ms/span  outputs={cfg.outputs}", flush=True)
             except Exception as e:
                 print(f"  {tag}/{name}: FAILED {type(e).__name__} {e}", flush=True)
+
+        # resolve-only A/B for the no_dict-vs-pool residual: the fallback
+        # resolves over the FULL dense taxonomy (tin/tout ~2.4M entries,
+        # the 64MB gather class) where pool mode resolves over ~504-row
+        # Euler tables (VMEM class) -- r5 hypothesis for the ~15 ms gap
+        import jax.numpy as jnp
+        from krakenuniq_tpu.taxonomy.resolve import resolve_reads
+
+        w = lb - 31 + 1
+        rng = np.random.default_rng(0)
+        if c._pool is not None:
+            n_ids = c._pool.size
+        else:
+            n_ids = c.taxonomy.size
+        taxa = jax.device_put(
+            rng.integers(1, n_ids, size=(batch, w)).astype(np.int32))
+        hm = jax.device_put(rng.random((batch, w)) < 0.8)
+
+        @jax.jit
+        def _res(tr, hmm, t1, t2, t3):
+            return jnp.sum(
+                resolve_reads(tr, hmm, t1, t2, t3, c._root_dense,
+                              c._cfg_packed.max_depth))
+
+        def force2(x):
+            return np.asarray(x)
+
+        force2(_res(taxa, hm, c._tin, c._tout, c._parent))
+        t0 = time.time()
+        for _ in range(3):
+            pass
+        n = 4
+        t0 = time.time()
+        for _ in range(n - 1):
+            _res(taxa, hm, c._tin, c._tout, c._parent)
+        force2(_res(taxa, hm, c._tin, c._tout, c._parent))
+        dt = (time.time() - t0) / n
+        print(f"  {tag}/resolve_only ({n_ids} ids): {dt*1e3:.0f} ms", flush=True)
         del c
 main()
