@@ -17,6 +17,9 @@ def test_bench_smoke(tmp_path):
         BENCH_BATCH="64",
         BENCH_REPS="2",
         BENCH_PIPELINE_READS="300",
+        # exercise the HBM-full-scale stage's CODE PATH at toy size (the
+        # default 1G ballast would have the smoke test build a 12 GB DB)
+        BENCH_LARGE_BALLAST="20000",
         BENCH_PLATFORM="cpu",
         KRAKENUNIQ_TPU_CACHE=str(tmp_path / "xla"),
         HOME=str(tmp_path),  # keep the demo-db cache out of the real home
