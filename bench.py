@@ -504,8 +504,11 @@ def main():
     # local taxon dictionary on device (device_step.py local_dict). Measure
     # that path's end-to-end rate by forcing value_pool off on the same DB
     # (the id space is what changes, not the data).
+    # c_exact shares c_dc's device planes (with_shared_db): drop it HERE,
+    # unconditionally, or the large stage's `del c_dc` could not free the
+    # table before uploading the ~9 GB large one on a 16 GB part.
+    del c_exact
     if os.environ.get("BENCH_POOL_FALLBACK", "1") != "0":
-        del c_exact
         t_fb = time.time()
         c_fb = Classifier(
             [db_dir],

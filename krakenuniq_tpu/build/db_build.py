@@ -209,6 +209,15 @@ class _PairSpiller:
         self.tmp_dir = tmp_dir
         self.paths = [os.path.join(tmp_dir, f"pairs.{i:04d}.bin") for i in range(n_buckets)]
         self._fhs: list = [None] * n_buckets
+        self._started = [False] * n_buckets  # truncate on first open only
+        self._n_open = 0
+        try:
+            import resource
+            soft = resource.getrlimit(resource.RLIMIT_NOFILE)[0]
+            if soft > 0:
+                self._max_open = max(64, min(self._max_open, soft - 64))
+        except Exception:
+            pass
         self._buf: list[np.ndarray] = []
         self._buffered = 0
         self.flush_pairs = 4 << 20
@@ -244,9 +253,23 @@ class _PairSpiller:
             if hi > lo:
                 self._write(i, rec[lo:hi])
 
+    # Keep well under the process's open-file limit: at reference scale a
+    # flush touches essentially every bucket, and up to 4096 lazily-opened
+    # handles would exceed the common `ulimit -n 1024`. Files are opened in
+    # append mode so any handle can be dropped and reopened at will.
+    _max_open = 512
+
     def _write(self, i: int, rec: np.ndarray) -> None:
         if self._fhs[i] is None:
-            self._fhs[i] = open(self.paths[i], "wb")
+            if self._n_open >= self._max_open:
+                for j, fh in enumerate(self._fhs):
+                    if fh is not None:
+                        fh.close()
+                        self._fhs[j] = None
+                self._n_open = 0
+            self._fhs[i] = open(self.paths[i], "ab" if self._started[i] else "wb")
+            self._started[i] = True
+            self._n_open += 1
         self._fhs[i].write(rec.tobytes())
 
     def close(self) -> None:
@@ -255,12 +278,18 @@ class _PairSpiller:
             if fh is not None:
                 fh.close()
         self._fhs = [None] * self.n_buckets
+        self._n_open = 0
 
-    def load_bucket(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def load_bucket(
+        self, i: int, keys_only: bool = False
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if not os.path.exists(self.paths[i]):
             e = np.empty(0, dtype=np.uint64)
             return e, e, e
         rec = np.fromfile(self.paths[i], dtype=_PAIR_DTYPE)
+        if keys_only:  # counting passes skip materializing v/b columns
+            e = np.empty(0, dtype=np.uint64)
+            return rec["k"].copy(), e, e
         return rec["k"].copy(), rec["v"].copy(), rec["b"].copy()
 
     def cleanup(self) -> None:
@@ -408,13 +437,17 @@ def _sample_boundaries(
     sample_kmers: int = 2 << 20,
 ) -> np.ndarray | None:
     """Quantile bucket boundaries from the library's own bin distribution
-    (first ~sample_kmers k-mers; deterministic). Returns None for a single
-    bucket."""
+    (~sample_kmers k-mers spread across EVERY library file, deterministic:
+    a single-file head sample would let one organism's bin distribution
+    plan buckets for a library whose later files differ). Returns None for
+    a single bucket."""
     if n_buckets <= 1:
         return None
     acc: list[np.ndarray] = []
     got = 0
+    per_file = max(sample_kmers // max(len(fastas), 1), 64 << 10)
     for path in fastas:
+        file_got = 0
         for dna in read_sequences(path):
             if not dna.seq:
                 continue
@@ -423,12 +456,11 @@ def _sample_boundaries(
                 if len(bs):
                     acc.append(bs)
                     got += len(bs)
-                if got >= sample_kmers:
+                    file_got += len(bs)
+                if file_got >= per_file:
                     break
-            if got >= sample_kmers:
+            if file_got >= per_file:
                 break
-        if got >= sample_kmers:
-            break
     if not got:
         return None
     allb = np.sort(np.concatenate(acc))
@@ -454,6 +486,16 @@ def _plan_buckets(fastas: list[str], memory_budget: int) -> int:
     n = 1
     while n < 4096 and pair_bytes / n > memory_budget:
         n *= 2
+    if pair_bytes / n > memory_budget:
+        # the 4096-bucket cap binds: the bounded-memory contract cannot be
+        # met at this budget -- say so instead of silently swapping/OOMing
+        print(
+            f"WARNING: build memory budget {memory_budget/2**30:.1f} GiB is "
+            f"too small for this library at the {n}-bucket cap; expect "
+            f"~{pair_bytes/n/2**30:.1f} GiB per-bucket working set (raise "
+            f"--build-memory or split the library)",
+            file=sys.stderr,
+        )
     return n
 
 
@@ -519,7 +561,7 @@ def build_database_stream(
         if max_kmers is not None:
             uniq_counts = []
             for i in range(spiller.n_buckets):
-                ks, _, _ = spiller.load_bucket(i)
+                ks, _, _ = spiller.load_bucket(i, keys_only=True)
                 uniq_counts.append(len(np.unique(ks)) if len(ks) else 0)
             key_ct = sum(uniq_counts)
             if key_ct > max_kmers:
@@ -605,21 +647,17 @@ def stream_database_to_dir(
 ) -> dict:
     """Reference-scale build: stream buckets straight into
     <db_dir>/database.kdb + database.idx + database.kdb.counts without ever
-    holding the database in memory. Returns {key_ct, pairs, seconds,
-    keys_per_s, n_buckets}. Output files are byte-identical to
+    holding the database in memory. Returns {key_ct, seconds, keys_per_s,
+    memory_budget}. Output files are byte-identical to
     write_kdb/write_index over build_database's arrays."""
     import time
 
     from ..formats.counts import write_counts
     from ..formats.index import write_index
-    from ..formats.kdb import KRAKEN_DB_MAGIC, KdbHeader
+    from ..formats.kdb import KdbHeader, kdb_header_bytes, pack_pairs
 
     t0 = time.time()
     hdr = KdbHeader(key_bits=2 * k, val_len=4, key_ct=0)
-    header = bytearray(hdr.header_size)
-    header[:8] = KRAKEN_DB_MAGIC
-    header[8:16] = np.uint64(hdr.key_bits).tobytes()
-    header[16:24] = np.uint64(4).tobytes()
 
     counts = np.zeros(4**nt, dtype=np.int64)
     val_hist: dict[int, int] = {}
@@ -632,7 +670,7 @@ def stream_database_to_dir(
         tmp_dir=tmp_dir, verbose=verbose,
     )
     with open(kdb_path, "wb") as f:
-        f.write(bytes(header))
+        f.write(kdb_header_bytes(hdr))  # key_ct=0; patched after the stream
         for keys, vals, key_bins in stream:
             if not len(keys):
                 continue
@@ -641,18 +679,13 @@ def stream_database_to_dir(
             uv, uc = np.unique(vals, return_counts=True)
             for v, c in zip(uv.tolist(), uc.tolist()):
                 val_hist[v] = val_hist.get(v, 0) + c
-            pair = np.zeros((len(keys), hdr.pair_size), dtype=np.uint8)
-            pair[:, : hdr.key_len] = (
-                np.ascontiguousarray(keys, "<u8").view(np.uint8).reshape(-1, 8)[
-                    :, : hdr.key_len
-                ]
+            f.write(pack_pairs(hdr, keys, vals).tobytes())
+        f.seek(0)
+        f.write(
+            kdb_header_bytes(
+                KdbHeader(key_bits=2 * k, val_len=4, key_ct=key_ct)
             )
-            pair[:, hdr.key_len : hdr.key_len + 4] = (
-                np.ascontiguousarray(vals, "<u4").view(np.uint8).reshape(-1, 4)
-            )
-            f.write(pair.tobytes())
-        f.seek(48)
-        f.write(np.uint64(key_ct).tobytes())
+        )
 
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint64)
     write_index(os.path.join(db_dir, "database.idx"), nt, offsets)

@@ -138,7 +138,10 @@ def main(argv=None) -> int:
 
 
     if args.rebuild:
-        for name in ("database.kdb", "database.idx", "database.kdb.counts", "taxDB"):
+        # step-6b products must go too: their existence gates regeneration,
+        # and a stale self-classification describes the OLD database
+        for name in ("database.kdb", "database.idx", "database.kdb.counts",
+                     "taxDB", "database.report.tsv", "database.kraken.tsv"):
             p = os.path.join(db, name)
             if os.path.exists(p):
                 os.remove(p)

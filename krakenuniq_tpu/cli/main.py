@@ -351,8 +351,34 @@ def main(argv: list[str] | None = None) -> int:
                     # bit-for-bit (the idempotent-artifact pattern,
                     # build_db.sh:116)
                     import dataclasses as _dc
+                    import stat as _stat
 
+                    # recovery re-reads the inputs from the top: a pipe /
+                    # FIFO / stdin was consumed by this host's own pass and
+                    # would silently yield zero reads for the lost share
+                    for inp in inputs:
+                        try:
+                            st = os.stat(inp)
+                        except OSError:
+                            st = None
+                        if st is None or not _stat.S_ISREG(st.st_mode):
+                            print(
+                                f"Cannot auto-recover: input {inp!r} is not "
+                                f"a re-readable regular file. Re-run the "
+                                f"lost hosts' shares manually.",
+                                file=sys.stderr,
+                            )
+                            return 75
                     for lost in e.missing_hosts:
+                        # a slow-but-alive peer may have finished during
+                        # the timeout window -- its artifacts win
+                        if os.path.exists(f"{args.output}.done{lost}"):
+                            print(
+                                f"Host {lost} completed late; skipping "
+                                f"recovery for it.",
+                                file=sys.stderr,
+                            )
+                            continue
                         print(
                             f"Recovering lost host {lost}'s span share "
                             f"in-process ...",
@@ -362,19 +388,31 @@ def main(argv: list[str] | None = None) -> int:
                         rcl = Classifier(
                             db_dirs, options=r_opts, uid_database=args.uid_mapping
                         )
+                        # write to temp paths and os.replace into place: if
+                        # the peer is alive after all and still writing, the
+                        # two writers land on separate inodes and the rename
+                        # publishes one complete, self-consistent artifact
+                        # (both runs produce identical bytes anyway)
                         part = f"{args.output}.part{lost}"
-                        pfh = open_output(part)
+                        pfh = open_output(part + ".recover")
                         try:
-                            rcl.run(inputs, kraken_fh=pfh)
+                            rcl.run(
+                                inputs,
+                                kraken_fh=pfh,
+                                classified_fh=classified_fh,
+                                unclassified_fh=unclassified_fh,
+                            )
                         finally:
                             pfh.close()
-                        with open(part + ".manifest", "w") as mf:
+                        with open(part + ".manifest.recover", "w") as mf:
                             _json.dump(rcl.span_manifest, mf)
                         if report_arg:
                             save_counter_state(
                                 f"{report_arg}.state.{lost}",
                                 rcl.finalized_counts(),
                             )
+                        os.replace(part + ".recover", part)
+                        os.replace(part + ".manifest.recover", part + ".manifest")
                         write_done_marker(args.output, lost)
                     done = rendezvous_and_merge(
                         host_id,

@@ -85,6 +85,31 @@ def read_kdb(path: str | os.PathLike, mmap: bool = True):
     return hdr, keys, vals
 
 
+def kdb_header_bytes(hdr: KdbHeader) -> bytes:
+    """The on-disk header for `hdr` (key_ct at offset 48, Jellyfish region
+    zero-filled). Shared by write_kdb and the streaming builder so the
+    layout lives in exactly one place."""
+    header = bytearray(hdr.header_size)
+    header[:8] = KRAKEN_DB_MAGIC
+    header[8:16] = np.uint64(hdr.key_bits).tobytes()
+    header[16:24] = np.uint64(hdr.val_len).tobytes()
+    header[48:56] = np.uint64(hdr.key_ct).tobytes()
+    return bytes(header)
+
+
+def pack_pairs(hdr: KdbHeader, keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Pack parallel key/value arrays into the kdb's on-disk pair records
+    (key_len little-endian key bytes + val_len value bytes per row)."""
+    keys = np.ascontiguousarray(keys, dtype="<u8")
+    vals = np.ascontiguousarray(vals, dtype="<u4")
+    if keys.shape != vals.shape:
+        raise ValueError("keys and vals must have the same length")
+    pair = np.zeros((len(keys), hdr.pair_size), dtype=np.uint8)
+    pair[:, : hdr.key_len] = keys.view(np.uint8).reshape(-1, 8)[:, : hdr.key_len]
+    pair[:, hdr.key_len : hdr.key_len + 4] = vals.view(np.uint8).reshape(-1, 4)
+    return pair
+
+
 def write_kdb(
     path: str | os.PathLike,
     keys: np.ndarray,
@@ -92,20 +117,9 @@ def write_kdb(
     k: int,
 ) -> KdbHeader:
     """Write keys/vals as a reference-compatible .kdb file."""
-    keys = np.ascontiguousarray(keys, dtype="<u8")
-    vals = np.ascontiguousarray(vals, dtype="<u4")
-    if keys.shape != vals.shape:
-        raise ValueError("keys and vals must have the same length")
     hdr = KdbHeader(key_bits=2 * k, val_len=4, key_ct=len(keys))
-    header = bytearray(hdr.header_size)
-    header[:8] = KRAKEN_DB_MAGIC
-    header[8:16] = np.uint64(hdr.key_bits).tobytes()
-    header[16:24] = np.uint64(4).tobytes()
-    header[48:56] = np.uint64(hdr.key_ct).tobytes()
-    pair = np.zeros((len(keys), hdr.pair_size), dtype=np.uint8)
-    pair[:, : hdr.key_len] = keys.view(np.uint8).reshape(-1, 8)[:, : hdr.key_len]
-    pair[:, hdr.key_len : hdr.key_len + 4] = vals.view(np.uint8).reshape(-1, 4)
+    pair = pack_pairs(hdr, keys, vals)
     with open(path, "wb") as f:
-        f.write(bytes(header))
+        f.write(kdb_header_bytes(hdr))
         f.write(pair.tobytes())
     return hdr

@@ -12,7 +12,6 @@ Returns the grade stats dict plus the derived headline numbers
 
 from __future__ import annotations
 
-import io
 import os
 
 from ..formats.seqio import read_sequences

@@ -87,9 +87,6 @@ def main():
             return np.asarray(x)
 
         force2(_res(taxa, hm, c._tin, c._tout, c._parent))
-        t0 = time.time()
-        for _ in range(3):
-            pass
         n = 4
         t0 = time.time()
         for _ in range(n - 1):
