@@ -527,13 +527,17 @@ def main():
         del c_fb
 
     # ---- stage: HBM-full-scale block (VERDICT r4 item 2) -----------------
-    # ~1G keys => an ~8.6 GB CHD table on the 16 GB part: validates the §12
-    # scaling model's gather-cost-class assumption AT the sharded-table
-    # size, and measures OOC at a realistic chunk count with the
-    # upload/probe split. Heavy (table build is cached; upload is ~GBs over
-    # this link), so gated by elapsed time and BENCH_LARGE=0.
+    # 460M keys => lb=29, an ~9 GB CHD table on the 16 GB part -- the same
+    # per-chip shard size class as the §12 scaling model's multi-chip
+    # projection: validates the gather-cost-class assumption AT that size
+    # and measures OOC at a realistic chunk count with the upload/probe
+    # split. (1G keys quantizes to lb=30 = an 18 GB table: measured
+    # RESOURCE_EXHAUSTED on this 16 GB part.) Heavy (table build is cached;
+    # upload is ~GBs over this link), so gated by elapsed time and
+    # BENCH_LARGE=0; errors in this stage are recorded, not fatal -- the
+    # nine preceding stages' record must survive an HBM OOM here.
     large_deadline = float(os.environ.get("BENCH_LARGE_DEADLINE_S", 7200))
-    large_ballast = int(os.environ.get("BENCH_LARGE_BALLAST", 1_000_000_000))
+    large_ballast = int(os.environ.get("BENCH_LARGE_BALLAST", 460_000_000))
     if (
         os.environ.get("BENCH_LARGE", "1") != "0"
         and large_ballast > ballast
@@ -546,76 +550,96 @@ def main():
         except NameError:
             pass
         gc.collect()
-        db_dir_lg, genomes_lg, n_keys_lg = ensure_db_dir(
-            n_species, genome_len, k, nt, pad_nodes, large_ballast
-        )
-        t_load = time.time()
-        c_lg = Classifier([db_dir_lg], ClassifyOptions(print_progress=False))
-        load_lg = time.time() - t_load
-        table_gb_lg = (
-            sum(int(np.prod(p.shape)) * 4 for p in c_lg._db_planes[0]) / 1e9
-        )
-        LG = {
-            "db_keys": n_keys_lg,
-            "hash_lb": c_lg.dbs[0].hash_lb,
-            "table_gb": round(table_gb_lg, 2),
-            "load_upload_s": round(load_lg, 1),
-        }
-        RESULT["large"] = LG
-        print(
-            f"LARGE stage: {n_keys_lg/1e6:.0f}M keys, lb={LG['hash_lb']} "
-            f"({table_gb_lg:.2f} GB table), load+upload {load_lg:.0f}s",
-            file=sys.stderr,
-        )
-        ph, lps, pgbps, lanes_lg = phase_microbench(
-            c_lg, genomes_lg, batch, read_len, k, reps
-        )
-        LG["phase_ms"] = {p: round(v, 2) for p, v in ph.items()}
-        LG["probe_ns_per_row"] = round(ph["probe_ms"] * 1e6 / lanes_lg, 2)
-        LG["device_step_lookups_per_s"] = round(lps, 1)
-        emit("large_phase")
-        lg_rps = run_mode(c_lg, "large_exact_compat", timed_passes=1)
-        LG["reads_per_s"] = round(lg_rps, 1)
-        emit("large_pipeline")
-
-        if (
-            os.environ.get("BENCH_LARGE_OOC", "1") != "0"
-            and time.time() - t_start < large_deadline
-        ):
-            del c_lg
-            gc.collect()
-            table_b = (1 << LG["hash_lb"]) * 16
-            try:
-                c_lgo = Classifier(
-                    [db_dir_lg],
-                    ClassifyOptions(
-                        print_progress=False, preload_size=table_b // 4
-                    ),
-                )
-            except ValueError:
-                c_lgo = None
-            if c_lgo is not None and c_lgo._ooc is not None:
-                LG["ooc_chunks"] = c_lgo._ooc[0].n_chunks
-                t_up = time.time()
-                for _planes in c_lgo._ooc[0].chunk_planes:
-                    jax.block_until_ready(
-                        tuple(jax.device_put(p) for p in _planes)
-                    )
-                LG["ooc_chunk_upload_s"] = round(time.time() - t_up, 2)
-                n_lg_ooc = batch  # one span through the full chunk stream
-                p_ooc = os.path.join(td, "lg_ooc.fa")
-                write_reads(p_ooc, n_lg_ooc)
-                sink = open(os.devnull, "w")
-                c_lgo.run([p_ooc], kraken_fh=sink)  # warm/compile
-                c_lgo.reset_counters()
-                t0 = time.time()
-                c_lgo.run([p_ooc], kraken_fh=sink)
-                dt = time.time() - t0
-                LG["ooc_run_s"] = round(dt, 2)
-                LG["ooc_reads_per_s"] = round(n_lg_ooc / dt, 1)
-                del c_lgo
-        emit("large")
+        try:
+            _run_large_stage(large_ballast, large_deadline, t_start,
+                             n_species, genome_len, k, nt, pad_nodes,
+                             batch, read_len, reps, run_mode, write_reads,
+                             td, emit)
+        except Exception as e:  # record, don't kill the 9-stage record
+            RESULT["large_error"] = f"{type(e).__name__}: {e}"[:500]
+            print(f"LARGE stage failed: {e}", file=sys.stderr)
+            emit("large_error")
     td_ctx.cleanup()
+
+
+def _run_large_stage(large_ballast, large_deadline, t_start, n_species,
+                     genome_len, k, nt, pad_nodes, batch, read_len, reps,
+                     run_mode, write_reads, td, emit):
+    """The HBM-full-scale measurements; see the call site for gating."""
+    import gc
+    import jax
+
+    from krakenuniq_tpu.classify import Classifier, ClassifyOptions
+
+    db_dir_lg, genomes_lg, n_keys_lg = ensure_db_dir(
+        n_species, genome_len, k, nt, pad_nodes, large_ballast
+    )
+    t_load = time.time()
+    c_lg = Classifier([db_dir_lg], ClassifyOptions(print_progress=False))
+    load_lg = time.time() - t_load
+    table_gb_lg = (
+        sum(int(np.prod(p.shape)) * 4 for p in c_lg._db_planes[0]) / 1e9
+    )
+    LG = {
+        "db_keys": n_keys_lg,
+        "hash_lb": c_lg.dbs[0].hash_lb,
+        "table_gb": round(table_gb_lg, 2),
+        "load_upload_s": round(load_lg, 1),
+    }
+    RESULT["large"] = LG
+    print(
+        f"LARGE stage: {n_keys_lg/1e6:.0f}M keys, lb={LG['hash_lb']} "
+        f"({table_gb_lg:.2f} GB table), load+upload {load_lg:.0f}s",
+        file=sys.stderr,
+    )
+    ph, lps, pgbps, lanes_lg = phase_microbench(
+        c_lg, genomes_lg, batch, read_len, k, reps
+    )
+    LG["phase_ms"] = {p: round(v, 2) for p, v in ph.items()}
+    LG["probe_ns_per_row"] = round(ph["probe_ms"] * 1e6 / lanes_lg, 2)
+    LG["device_step_lookups_per_s"] = round(lps, 1)
+    emit("large_phase")
+    lg_rps = run_mode(c_lg, "large_exact_compat", timed_passes=1)
+    LG["reads_per_s"] = round(lg_rps, 1)
+    emit("large_pipeline")
+
+    if (
+        os.environ.get("BENCH_LARGE_OOC", "1") != "0"
+        and time.time() - t_start < large_deadline
+    ):
+        del c_lg
+        gc.collect()
+        table_b = (1 << LG["hash_lb"]) * 16
+        try:
+            c_lgo = Classifier(
+                [db_dir_lg],
+                ClassifyOptions(
+                    print_progress=False, preload_size=table_b // 4
+                ),
+            )
+        except ValueError:
+            c_lgo = None
+        if c_lgo is not None and c_lgo._ooc is not None:
+            LG["ooc_chunks"] = c_lgo._ooc[0].n_chunks
+            t_up = time.time()
+            for _planes in c_lgo._ooc[0].chunk_planes:
+                jax.block_until_ready(
+                    tuple(jax.device_put(p) for p in _planes)
+                )
+            LG["ooc_chunk_upload_s"] = round(time.time() - t_up, 2)
+            n_lg_ooc = batch  # one span through the full chunk stream
+            p_ooc = os.path.join(td, "lg_ooc.fa")
+            write_reads(p_ooc, n_lg_ooc)
+            sink = open(os.devnull, "w")
+            c_lgo.run([p_ooc], kraken_fh=sink)  # warm/compile
+            c_lgo.reset_counters()
+            t0 = time.time()
+            c_lgo.run([p_ooc], kraken_fh=sink)
+            dt = time.time() - t0
+            LG["ooc_run_s"] = round(dt, 2)
+            LG["ooc_reads_per_s"] = round(n_lg_ooc / dt, 1)
+            del c_lgo
+    emit("large")
 
 
 if __name__ == "__main__":
