@@ -64,6 +64,31 @@ def build_parser():
     p.add_argument("--shrink", type=int, default=None, metavar="N", help="shrink existing DB to N k-mers")
     p.add_argument("--shrink-block-offset", type=int, default=1)
     p.add_argument(
+        "--new-db",
+        metavar="NAME",
+        default=None,
+        help="new database name (shrink task only; mandatory for that task, "
+        "krakenuniq-build:268,351-353)",
+    )
+    p.add_argument(
+        "--upgrade",
+        action="store_true",
+        help="upgrade a pre-v0.10 DB (v1 plain-minimizer index) to the v2 "
+        "XOR-scrambled order (upgrade_db.sh)",
+    )
+    p.add_argument(
+        "--reset-taxids",
+        action="store_true",
+        help="re-run LCA value assignment even if database.kdb exists "
+        "(KRAKEN_RESET_TAXIDS, build_db.sh:244)",
+    )
+    p.add_argument(
+        "--verbose",
+        action="store_true",
+        help="per-bucket progress from the streaming builder (the reference "
+        "computes its -x opt but never passes it, krakenuniq-build:396-397)",
+    )
+    p.add_argument(
         "--build-memory",
         default="1G",
         metavar="SIZE",
@@ -121,6 +146,14 @@ def main(argv=None) -> int:
                 return rc
         # fall through to the build
 
+    if args.upgrade:
+        # task: upgrade_database (krakenuniq-build:229-230,404-405 ->
+        # upgrade_db.sh): re-sort a pre-v0.10 DB to scrambled minimizer order
+        from .tools import upgrade_db_main
+
+        _log_step(db, "upgrade_db (v1 -> v2 scrambled minimizer order)")
+        return upgrade_db_main([db])
+
     if args.add_to_library:
         dest = os.path.join(db, "library", "added")
         os.makedirs(dest, exist_ok=True)
@@ -157,7 +190,26 @@ def main(argv=None) -> int:
     idx_path = os.path.join(db, "database.idx")
     taxdb_path = os.path.join(db, "taxDB")
 
-    if args.shrink:
+    if args.shrink is not None:
+        # shrink task semantics: N must be positive and the target database
+        # name is mandatory and must not already exist (krakenuniq-build:
+        # 348-354, shrink_db.sh:33-40)
+        if args.shrink <= 0:
+            print("New DB must have at least 1 k-mer", file=sys.stderr)
+            return 64
+        if not args.new_db:
+            print(
+                "Must specify new database name (--new-db) to perform shrink task",
+                file=sys.stderr,
+            )
+            return 64
+        out_dir = args.new_db
+        if os.path.exists(out_dir):
+            print(
+                f"{args.new_db} already exists ({out_dir}), aborting shrink operation.",
+                file=sys.stderr,
+            )
+            return 1
         hdr, keys, vals = read_kdb(kdb_path)
         keys, vals = shrink_pairs(keys, vals, args.shrink, args.shrink_block_offset)
         b = bin_key(keys, hdr.k, args.minimizer_len)
@@ -165,11 +217,21 @@ def main(argv=None) -> int:
         keys, vals, b = keys[order], vals[order], b[order]
         counts = np.bincount(b.astype(np.int64), minlength=4**args.minimizer_len)
         offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint64)
-        out_dir = os.path.join(db + "_shrunk")
-        os.makedirs(out_dir, exist_ok=True)
+        os.makedirs(out_dir)
         write_kdb(os.path.join(out_dir, "database.kdb"), keys, vals, k=hdr.k)
         write_index(os.path.join(out_dir, "database.idx"), args.minimizer_len, offsets)
-        shutil.copy(taxdb_path, os.path.join(out_dir, "taxDB"))
+        # shrink_db.sh:42-43 seeds the new DB's taxonomy from the old one;
+        # copying taxDB too saves the new DB a rebuild from dumps
+        old_tax = os.path.join(db, "taxonomy")
+        if os.path.isdir(old_tax):
+            new_tax = os.path.join(out_dir, "taxonomy")
+            os.makedirs(new_tax, exist_ok=True)
+            for dump in ("nodes.dmp", "names.dmp"):
+                src = os.path.join(old_tax, dump)
+                if os.path.exists(src):
+                    shutil.copy(src, new_tax)
+        if os.path.exists(taxdb_path):
+            shutil.copy(taxdb_path, os.path.join(out_dir, "taxDB"))
         print(f"Shrunk database written to {out_dir}", file=sys.stderr)
         return 0
 
@@ -233,8 +295,23 @@ def main(argv=None) -> int:
     else:
         seqmap = {seqid: taxid for seqid, taxid, _ in map_lines}
 
-    # step: build LCA database (build_db.sh steps 1-3 + 6 in one pass)
-    if os.path.exists(kdb_path) and os.path.getsize(kdb_path) > 0:
+    # step: build LCA database (build_db.sh steps 1-3 + 6 in one pass).
+    # --reset-taxids re-runs it over an existing database.kdb (build_db.sh:
+    # 244 skips step 6 only when kdb exists AND KRAKEN_RESET_TAXIDS != 1);
+    # here values are recomputed from the library in the same streaming
+    # pass that writes the k-mer set, so a reset is a full re-run, and the
+    # products derived from the old values must go first.
+    if args.reset_taxids:
+        for name in ("database.kdb.counts", "database.report.tsv",
+                     "database.kraken.tsv"):
+            p = os.path.join(db, name)
+            if os.path.exists(p):
+                os.remove(p)
+    if (
+        os.path.exists(kdb_path)
+        and os.path.getsize(kdb_path) > 0
+        and not args.reset_taxids
+    ):
         print("database.kdb present, skipping build step", file=sys.stderr)
         _, _, vals = read_kdb(kdb_path)
     else:
@@ -277,6 +354,7 @@ def main(argv=None) -> int:
             max_kmers=max_kmers,
             lca_order=lca_groups,
             memory_budget=parse_size(args.build_memory),
+            verbose=args.verbose,
         )
         print(
             f"LCA database created: {stats['key_ct']} k-mers in "

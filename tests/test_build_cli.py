@@ -86,13 +86,85 @@ def test_build_max_db_size(tmp_path):
 def test_shrink_existing(tmp_path):
     db = setup_db_dir(tmp_path)
     assert build_main(["--db", str(db), "--kmer-len", "21", "--minimizer-len", "7"]) == 0
-    rc = build_main(["--db", str(db), "--minimizer-len", "7", "--shrink", "500"])
+    new_db = str(tmp_path / "DB_small")
+    # --new-db is mandatory for the shrink task (krakenuniq-build:351-353)
+    assert build_main(["--db", str(db), "--minimizer-len", "7", "--shrink", "500"]) == 64
+    # N must be positive (krakenuniq-build:348-350)
+    assert build_main(
+        ["--db", str(db), "--minimizer-len", "7", "--shrink", "0", "--new-db", new_db]
+    ) == 64
+    rc = build_main(
+        ["--db", str(db), "--minimizer-len", "7", "--shrink", "500", "--new-db", new_db]
+    )
     assert rc == 0
     from krakenuniq_tpu.formats import read_kdb
 
-    hdr, keys, _ = read_kdb(str(db) + "_shrunk/database.kdb")
+    hdr, keys, _ = read_kdb(os.path.join(new_db, "database.kdb"))
     assert hdr.key_ct == 500
     assert np.all(np.diff(np.asarray(keys, dtype=np.int64)) != 0)
+    # taxonomy seeded from the old DB (shrink_db.sh:42-43) + taxDB copied
+    assert os.path.exists(os.path.join(new_db, "taxonomy", "nodes.dmp"))
+    assert os.path.exists(os.path.join(new_db, "taxDB"))
+    # an existing target aborts (shrink_db.sh:33-37)
+    assert build_main(
+        ["--db", str(db), "--minimizer-len", "7", "--shrink", "500", "--new-db", new_db]
+    ) == 1
+
+
+def test_upgrade_task_dispatch(tmp_path):
+    """--upgrade re-sorts a v1 (plain minimizer order) DB to v2 scrambled
+    order via the build CLI (krakenuniq-build:229-230 -> upgrade_db.sh)."""
+    from krakenuniq_tpu.formats import read_index, read_kdb, write_index, write_kdb
+    from krakenuniq_tpu.utils.bits import bin_key
+
+    hdr, keys, vals = read_kdb(os.path.join(DATA, "database.kdb"))
+    _, nt, _ = read_index(os.path.join(DATA, "database.idx"))
+    # lay the pairs out in v1 (unscrambled) minimizer order
+    b1 = bin_key(np.asarray(keys), hdr.k, nt, xor_mask=0)
+    order = np.lexsort((keys, b1))
+    db = tmp_path / "V1DB"
+    db.mkdir()
+    write_kdb(db / "database.kdb", np.asarray(keys)[order], np.asarray(vals)[order], k=hdr.k)
+    counts = np.bincount(b1[order].astype(np.int64), minlength=4**nt)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint64)
+    write_index(db / "database.idx", nt, offsets, idx_type=1)
+    assert build_main(["--db", str(db), "--upgrade"]) == 0
+    _, k2, v2 = read_kdb(db / "database.kdb")
+    _, ref_k, ref_v = read_kdb(os.path.join(DATA, "database.kdb"))
+    np.testing.assert_array_equal(k2, ref_k)
+    np.testing.assert_array_equal(v2, ref_v)
+    idx_type, _, off2 = read_index(db / "database.idx")
+    _, _, ref_off = read_index(os.path.join(DATA, "database.idx"))
+    assert idx_type == 2
+    np.testing.assert_array_equal(off2, ref_off)
+    # idempotent: a second upgrade is a no-op success
+    assert build_main(["--db", str(db), "--upgrade"]) == 0
+
+
+def test_reset_taxids_reruns_lca_step(tmp_path):
+    """--reset-taxids re-runs value assignment over an existing kdb
+    (build_db.sh:244) and regenerates the value-derived products."""
+    db = setup_db_dir(tmp_path)
+    assert build_main(["--db", str(db), "--kmer-len", "21", "--minimizer-len", "7"]) == 0
+    from krakenuniq_tpu.formats import read_kdb
+
+    _, _, vals_before = read_kdb(db / "database.kdb")
+    # corrupt the values; a plain rerun must keep them (skip), a
+    # --reset-taxids rerun must restore them
+    kdb_path = db / "database.kdb"
+    raw = bytearray(kdb_path.read_bytes())
+    raw[-1] ^= 0xFF
+    kdb_path.write_bytes(bytes(raw))
+    assert build_main(["--db", str(db), "--kmer-len", "21", "--minimizer-len", "7"]) == 0
+    _, _, vals_kept = read_kdb(db / "database.kdb")
+    assert not np.array_equal(np.asarray(vals_kept), np.asarray(vals_before))
+    assert build_main(
+        ["--db", str(db), "--kmer-len", "21", "--minimizer-len", "7", "--reset-taxids"]
+    ) == 0
+    _, _, vals_after = read_kdb(db / "database.kdb")
+    np.testing.assert_array_equal(np.asarray(vals_after), np.asarray(vals_before))
+    assert (db / "database.kdb.counts").exists()
+    assert (db / "database.report.tsv").exists()
 
 
 def test_build_summary_report_and_log(tmp_path):
