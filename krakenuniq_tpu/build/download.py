@@ -267,17 +267,31 @@ class Downloader:
             fasta = _embl_to_fasta(emvec)
         self._write_library_file("contaminants", "EmVec", fasta, TID_ARTIFICIAL)
 
-    def download_assemblies(self, pattern: str, fna_types: str = "genomic") -> int:
+    def download_assemblies(
+        self,
+        pattern: str,
+        fna_types: str = "genomic",
+        default_domains: str | None = None,
+        default_level: str | None = None,
+        category: str | None = None,
+    ) -> int:
         """`refseq/DOMAINS[/ASSEMBLY_LEVELS[/COL=VAL]*]` (or genbank/...).
 
         DOMAINS and ASSEMBLY_LEVELS are comma-separated lists fanned out
         like the reference's nested split loops (krakenuniq-download:
         269-279). ASSEMBLY_LEVEL values: Complete_Genome, Chromosome,
         Scaffold, Contig, or Any. COL=VAL filters match
-        assembly_summary.txt columns exactly."""
+        assembly_summary.txt columns exactly. `default_domains` /
+        `default_level` fill parts the pattern omits (the --domain /
+        --assembly-level flags, krakenuniq-download:271-272); `category`
+        adds a refseq_category column match (--category,
+        krakenuniq-download:1204)."""
         parts = pattern.split("/")
         section = parts[0]
-        domains = parts[1] if len(parts) > 1 and parts[1] else "bacteria"
+        domains = (
+            parts[1] if len(parts) > 1 and parts[1]
+            else (default_domains or "bacteria")
+        )
         if section not in ("refseq", "genbank"):
             raise ValueError(f"bad section {section!r}")
         levels: list[str | None] = [None]
@@ -288,11 +302,18 @@ class Downloader:
                 None if lv == "Any" else lv.replace("_", " ")
                 for lv in extras.pop(0).split(",")
             ]
+        elif default_level:
+            levels = [
+                None if lv == "Any" else lv.replace("_", " ")
+                for lv in default_level.split(",")
+            ]
         for extra in extras:
             if "=" not in extra:
                 raise ValueError(f"bad assembly filter {extra!r} (expected COL=VAL)")
             col, val = extra.split("=", 1)
             col_filters.append((col, val))
+        if category:
+            col_filters.append(("refseq_category", category))
         n = 0
         for domain in domains.split(","):
             if domain not in DOMAINS:

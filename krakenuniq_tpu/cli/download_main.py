@@ -30,8 +30,36 @@ def build_parser():
         "krakenuniq-download:57,389-417)",
     )
     p.add_argument("--rsync", "-R", action="store_true", help="accepted no-op (https used)")
-    p.add_argument("--overwrite", action="store_true")
+    p.add_argument(
+        "--overwrite", "--force", action="store_true",
+        help="re-download existing files (the reference spells this --force)",
+    )
     p.add_argument("--verbose", action="store_true")
+    p.add_argument(
+        "-d", "--domain", default=None,
+        help="default DOMAINS for refseq/genbank patterns that omit them "
+        "(krakenuniq-download:271)",
+    )
+    p.add_argument(
+        "-a", "--assembly-level", default=None,
+        help="default ASSEMBLY_LEVELS for refseq/genbank patterns that omit "
+        "them (krakenuniq-download:272; reference default Complete_Genome)",
+    )
+    p.add_argument(
+        "-c", "--category", default=None,
+        help="keep only assemblies whose refseq_category column matches "
+        "exactly (krakenuniq-download:1204), e.g. 'reference genome'",
+    )
+    # parsed-but-unused in the reference (declared at krakenuniq-download:
+    # 213,223,226,229 and never read again); accepted for drop-in parity
+    p.add_argument("-t", "--taxonomy-id", default=None,
+                   help="accepted no-op (dead flag in the reference)")
+    p.add_argument("--nt-fna", default=None,
+                   help="accepted no-op (dead flag in the reference)")
+    p.add_argument("-l", "--change-header", action="store_true",
+                   help="accepted no-op (dead flag in the reference)")
+    p.add_argument("--ncbidb", default=None,
+                   help="accepted no-op (dead flag in the reference)")
     p.add_argument("--dust", "-D", action="store_true", help="dustmask low-complexity regions")
     p.add_argument("--min-seq-len", type=int, default=0)
     p.add_argument("--fna", default="genomic", help="sequence types for refseq/genbank")
@@ -105,8 +133,16 @@ def main(argv=None) -> int:
                     dl.download_search(
                         pattern, args.search, args.retmode, args.rettype, db=db
                     )
-            elif pattern.startswith(("refseq/", "genbank/")):
-                dl.download_assemblies(pattern, fna_types=args.fna)
+            elif pattern == "refseq" or pattern == "genbank" or pattern.startswith(
+                ("refseq/", "genbank/")
+            ):
+                dl.download_assemblies(
+                    pattern,
+                    fna_types=args.fna,
+                    default_domains=args.domain,
+                    default_level=args.assembly_level,
+                    category=args.category,
+                )
             else:
                 dl.download(pattern)
         except ValueError as e:

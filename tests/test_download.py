@@ -329,3 +329,59 @@ def test_cli_nt_flags_are_wired(tmp_path, monkeypatch, capsys):
     assert seen["exclude_environmental_taxa"] is True
     assert seen["pattern"] == "nt"
     assert "--filter-unplaced" in capsys.readouterr().err
+
+
+def test_domain_level_category_flags(tmp_path):
+    """--domain/--assembly-level fill pattern parts the pattern omits
+    (krakenuniq-download:271-272); --category keeps only assemblies whose
+    refseq_category matches exactly (krakenuniq-download:1204)."""
+    fetch = make_fetcher(
+        {
+            "assembly_summary.txt": ASSEMBLY_SUMMARY.encode(),
+            "GCF_001_ASM1_genomic.fna.gz": gzip.compress(GENOME_FA),
+        }
+    )
+    dl = Downloader(str(tmp_path), fetch=fetch, verbose=False)
+    # a category nothing carries downloads nothing
+    assert dl.download_assemblies(
+        "refseq/bacteria/Any", category="reference genome"
+    ) == 0
+    # bare section: domain and level come from the flags
+    n = dl.download_assemblies(
+        "refseq",
+        default_domains="bacteria",
+        default_level="Complete_Genome",
+        category="representative genome",
+    )
+    assert n == 1
+    assert (tmp_path / "library" / "bacteria" / "GCF_001_ASM1_genomic.fna").exists()
+
+
+def test_cli_assembly_flags_are_wired(tmp_path, monkeypatch):
+    """-d/-a/-c reach download_assemblies, --force aliases --overwrite, and
+    the reference's dead flags (-t/--nt-fna/-l/--ncbidb) are accepted."""
+    from krakenuniq_tpu.cli import download_main
+
+    seen = {}
+
+    class FakeDL:
+        def __init__(self, db_dir, **kw):
+            seen.update(kw)
+
+        def download_assemblies(self, pattern, **kw):
+            seen["pattern"] = pattern
+            seen.update(kw)
+            return 0
+
+    monkeypatch.setattr("krakenuniq_tpu.build.download.Downloader", FakeDL)
+    rc = download_main.main(
+        ["refseq", "-o", str(tmp_path), "-d", "archaea", "-a", "Chromosome",
+         "-c", "reference genome", "--force",
+         "-t", "2157", "--nt-fna", "/x/nt.fna", "-l", "--ncbidb", "assembly"]
+    )
+    assert rc == 0
+    assert seen["pattern"] == "refseq"
+    assert seen["default_domains"] == "archaea"
+    assert seen["default_level"] == "Chromosome"
+    assert seen["category"] == "reference genome"
+    assert seen["overwrite"] is True
