@@ -31,7 +31,13 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native taxonomic sequence classifier with unique k-mer counting",
     )
     p.add_argument("--db", action="append", default=[], help="database directory (repeatable: hierarchical lookup)")
-    p.add_argument("--threads", type=int, default=None, help="accepted for compatibility")
+    p.add_argument(
+        "--threads",
+        type=int,
+        # the reference falls back to KRAKEN_NUM_THREADS (krakenuniq:102-104)
+        default=int(os.environ.get("KRAKEN_NUM_THREADS") or 0) or None,
+        help="accepted for compatibility",
+    )
     p.add_argument("--fasta-input", action="store_true", help="(format is auto-detected)")
     p.add_argument("--fastq-input", action="store_true", help="(format is auto-detected)")
     p.add_argument("--quick", action="store_true", help="stop after the first hit(s)")
